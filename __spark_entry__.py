@@ -3,36 +3,92 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Engine: pysearch (inverted-index build + BM25 top-k query, SURVEY.md §2).
+BM25 queries get STRONG DuckDB oracles — the oracle SQL re-derives
+tokenization, SmallFloat norm quantization and Lucene-8 BM25 from scratch
+(pysearch/oracle_sql.py). Scores are rounded to 4 decimals on both sides
+(both compute in float64; cross-system noise is ~1e-15).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pysearch import build as pbuild
+from pysearch import exec as pexec
+from pysearch import oracle_sql as osql
+
+_INDEX_CACHE: dict[str, object] = {}
+
+
+def _index_for(spark: SparkSession, sf_dir: str):
+    key = sf_dir.rstrip("/")
+    if key not in _INDEX_CACHE:
+        corpus = pbuild.corpus_from_documents(spark, sf_dir)
+        _INDEX_CACHE[key] = pbuild.build_index(
+            spark, corpus, n_buckets=16, salt_threshold=64, n_salts=4)
+    return _INDEX_CACHE[key]
+
+
+def _topk(text: str, k: int, mode: str = "or"):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = _index_for(spark, sf_dir)
+        hits = pexec.search(idx, text, k=k, mode=mode)
+        return hits.select(
+            "doc_id", F.round("score", osql.ROUND_DIGITS).alias("score"))
+    return run
+
+
+def _count(text: str, mode: str = "or"):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = _index_for(spark, sf_dir)
+        n = pexec.count_matches(idx, text, mode=mode)
+        return spark.createDataFrame([(n,)], "cnt long")
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the sf0.001 index, answer a boolean-OR BM25 top-k,
+    fetch winners with the sha256 invariant verified."""
+    idx = _index_for(spark, "/root/testdata/sf0.001")
+    hits = pexec.search(idx, "value merge sort", k=10, mode="or")
+    return pexec.fetch(idx, hits)
+
+
+# (query text, k, mode) per FIXTURES §2: rare/hot/absent terms, stopword-only,
+# AND 2/4 clauses, OR 5 clauses, k ∈ {1, 10, 100}.
+_BM25_CASES = {
+    "q_term": ("merge", 10, "or"),
+    "q_term_hot": ("value", 10, "or"),
+    "q_term_absent": ("zzzqqqxyzzy", 10, "or"),
+    "q_match_stopwords_only": ("the a to", 10, "or"),
+    "q_match_or": ("value merge sort", 10, "or"),
+    "q_bool_and2": ("merge sort", 10, "and"),
+    "q_bool_and4": ("value table part hash", 10, "and"),
+    "q_bool_or5": ("merge sort window batch spark", 20, "or"),
+    "q_topk_k1": ("value merge", 1, "or"),
+    "q_topk_k100": ("value merge", 100, "or"),
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (text, k, mode) in _BM25_CASES.items():
+        out[name] = _topk(text, k, mode)
+    out["q_count_or"] = _count("merge sort")
+    out["q_count_and"] = _count("merge sort", mode="and")
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {
+        name: osql.bm25_topk_sql(text, k, mode)
+        for name, (text, k, mode) in _BM25_CASES.items()
+    }
+    out["q_count_or"] = osql.count_sql("merge sort")
+    out["q_count_and"] = osql.count_sql("merge sort", mode="and")
+    return out

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Headline benchmark: index build throughput + top-k BM25 query latency.
+
+Reads $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "build_sec": ..., "docs_per_sec": ...}
+
+Optional deterministic synthetic code corpus (FIXTURES §1) instead of the
+driver documents table: set PYSEARCH_BENCH_SYNTH_DOCS=<n_docs> (used by
+BENCH/run_scaling.py for the N-vs-4N-cores scaling evidence).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pysearch import build as pbuild
+from pysearch import exec as pexec
+from pysearch.session import get_spark
+
+QUERIES = [
+    ("q_term", "merge", 10, "or"),
+    ("q_term_hot", "value", 10, "or"),
+    ("q_match_or", "value merge sort", 10, "or"),
+    ("q_bool_and2", "merge sort", 10, "and"),
+    ("q_bool_and4", "value table part hash", 10, "and"),
+    ("q_bool_or5", "merge sort window batch spark", 20, "or"),
+    ("q_topk_k100", "value merge", 100, "or"),
+]
+
+SYNTH_QUERIES = [
+    ("q_term", "parse", 10, "or"),
+    ("q_term_hot", "get", 10, "or"),
+    ("q_match_or", "parseHttpRequest", 10, "or"),
+    ("q_bool_and2", "merge index", 10, "and"),
+    ("q_bool_and4", "read write hash node", 10, "and"),
+    ("q_bool_or5", "scan sort flush batch chunk", 20, "or"),
+    ("q_topk_k100", "query index", 100, "or"),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    synth_docs = int(os.environ.get("PYSEARCH_BENCH_SYNTH_DOCS", "0"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark(cores=cpus, app="pysearch-bench",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if synth_docs:
+        from pysearch.datagen import synthetic_corpus
+
+        corpus = synthetic_corpus(spark, synth_docs, n_partitions=cpus * 2)
+        corpus = corpus.persist()
+        n_docs = corpus.count()  # materialize OUTSIDE the timed build
+        queries = SYNTH_QUERIES
+    else:
+        corpus = pbuild.corpus_from_documents(spark, sf_dir).persist()
+        n_docs = corpus.count()
+        queries = QUERIES
+
+    t0 = time.time()
+    index = pbuild.build_index(spark, corpus, n_buckets=max(cpus, 16))
+    # force full materialization of every index table
+    index.postings.count()
+    index.docs.count()
+    index.term_stats.count()
+    build_sec = time.time() - t0
+
+    # warm the Python workers / JVM paths before per-query timing
+    pexec.search(index, "warmup", k=1).collect()
+
+    per_query: dict[str, float] = {}
+    for name, text, k, mode in queries:
+        tq = time.time()
+        pexec.search(index, text, k=k, mode=mode).collect()
+        per_query[name] = round(time.time() - tq, 4)
+
+    total = round(build_sec + sum(per_query.values()), 4)
+    lat = sorted(per_query.values())
+    out = {
+        "metric": "index-build + BM25 top-k query wall (docs/sec + per-query sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "n_docs": n_docs,
+        "build_sec": round(build_sec, 4),
+        "docs_per_sec": round(n_docs / build_sec, 2) if build_sec else None,
+        "query_p50_sec": lat[len(lat) // 2] if lat else None,
+        "cpus": cpus,
+        "synthetic_docs": synth_docs or None,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

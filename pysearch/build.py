@@ -1,0 +1,299 @@
+"""Index build pipeline: corpus DataFrame -> inverted-index segment tables.
+
+Models the reference's bulk-index path (SURVEY §3.2) Spark-first:
+
+  corpus ──tokenize (JVM regex codegen OR Arrow pandas UDF)──▶ tokens
+    ├──▶ docs/norms   (forward index: dl, SmallFloat dl_byte, content_sha)
+    ├──▶ tf           groupBy(doc_id, term)  [map-side partial agg]
+    ├──▶ term_stats   groupBy(term): df, cf  +  n_salts for hot terms
+    ├──▶ stats        N, sum_dl, avgdl  (1 row, broadcast as literals)
+    └──▶ postings     shuffle by (term, salt) ──applyInPandas──▶
+                      128-doc blocks: delta+varint docIDs, varint tfs,
+                      raw norm bytes, block-max impacts
+                      bucketed by xxhash64(term) % n_buckets
+
+Reference anchors: TransportShardBulkAction / InternalEngine#index /
+OperationRouting#shardId (routing hash ≙ our term-hash repartition);
+[lucene dep] FreqProxTermsWriter (invert), Lucene84PostingsWriter (encode),
+NormValuesWriter + SmallFloat (norms). See SURVEY §2.3.
+
+Scale notes (the 100 TB plan):
+  - exactly ONE wide shuffle of token-grain data (the groupBy(doc_id,term));
+    term_stats join is a term-keyed shuffle of (doc,term)-grain rows that
+    co-partitions with the applyInPandas grouping.
+  - hot terms are salted (`df > salt_threshold` -> n_salts sub-lists keyed
+    by pmod(doc_id, n_salts)) so no single task encodes a whole Zipf-head
+    posting list; query-side merge is a concat (disjoint doc ranges).
+  - postings land partitioned by bucket = pmod(xxhash64(term), n_buckets):
+    query-time term lookups prune to 1 bucket per term (file skipping).
+  - per-bucket lineage rows (docs/postings/bytes) are written with the
+    segment; the build is resumable: finished tables (with _SUCCESS) skip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from . import analysis, codec
+
+DEFAULT_BUCKETS = 32
+DEFAULT_SALT_THRESHOLD = 4096   # df above this -> salted
+DEFAULT_N_SALTS = 8
+
+POSTINGS_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType(), False),
+    T.StructField("salt", T.IntegerType(), False),
+    T.StructField("bucket", T.IntegerType(), False),
+    T.StructField("df", T.LongType(), False),
+    T.StructField("block_id", T.IntegerType(), False),
+    T.StructField("n_in_block", T.IntegerType(), False),
+    T.StructField("first_doc_id", T.LongType(), False),
+    T.StructField("docid_gaps", T.BinaryType(), False),
+    T.StructField("tfs_enc", T.BinaryType(), False),
+    T.StructField("norms_enc", T.BinaryType(), False),
+    T.StructField("block_max_tf", T.IntegerType(), False),
+    T.StructField("block_max_score", T.DoubleType(), False),
+])
+
+
+@dataclass
+class Stats:
+    n_docs: int
+    sum_dl: int
+
+    @property
+    def avgdl(self) -> float:
+        return self.sum_dl / self.n_docs if self.n_docs else 0.0
+
+
+@dataclass
+class Index:
+    """An immutable built segment (in-memory DataFrames or parquet-backed)."""
+    docs: DataFrame          # doc_id, repo, path, commit, lang, content, content_sha, dl, dl_byte
+    postings: DataFrame      # POSTINGS_SCHEMA
+    term_stats: DataFrame    # term, df, cf, n_salts
+    stats: Stats
+    k1: float = analysis.K1
+    b: float = analysis.B
+    n_buckets: int = DEFAULT_BUCKETS
+    meta: dict = field(default_factory=dict)
+
+
+def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver's documents.parquet to the corpus shape (FIXTURES §1).
+
+    corpus(repo, path, commit, lang, content) + doc_id + content_sha(hex).
+    """
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.sha1(F.col("doc_id").cast("string")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def with_doc_ids(corpus: DataFrame) -> DataFrame:
+    """Assign the contractual doc_id: 0-based dense rank over (repo,path,commit).
+
+    (repo,path,commit) is unique, so row_number == dense rank. Single global
+    sort — acceptable: runs once at ingest, and Spark's rangepartition sort
+    scales; at true 10^12 scale swap for zipWithIndex-style two-pass offsets.
+    """
+    from pyspark.sql import Window
+    w = Window.orderBy("repo", "path", "commit")
+    return corpus.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+
+
+def tokenize(corpus: DataFrame, tokenizer: str = "native") -> DataFrame:
+    """corpus -> (doc_id, tokens array<string>). Both paths vectorized."""
+    if tokenizer == "native":
+        toks = analysis.tokens_expr(F.col("content"))
+    elif tokenizer == "pandas":
+        toks = analysis.pandas_tokens_udf()(F.col("content"))
+    else:
+        raise ValueError(tokenizer)
+    return corpus.select("doc_id", toks.alias("tokens"))
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    *,
+    n_buckets: int = DEFAULT_BUCKETS,
+    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
+    n_salts: int = DEFAULT_N_SALTS,
+    tokenizer: str = "native",
+    k1: float = analysis.K1,
+    b: float = analysis.B,
+    cache: bool = True,
+) -> Index:
+    """Build all index tables from a corpus DataFrame (not yet written out)."""
+    tokens = tokenize(corpus, tokenizer)
+
+    # ---- forward index + norms (dl counts post-stopword tokens, SURVEY §8.7)
+    docs = (
+        corpus.join(tokens, "doc_id")
+        .withColumn("content_sha", F.sha2(F.col("content"), 256))
+        .withColumn("dl", F.size("tokens").cast("long"))
+        .withColumn("dl_byte", F.expr(codec.spark_byte4_sql("dl")).cast("int"))
+        .drop("tokens")
+    )
+    if cache:
+        docs = docs.persist()
+
+    # ---- global collection stats (tiny: collect to driver, broadcast as lits)
+    srow = docs.agg(
+        F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
+    ).collect()[0]
+    stats = Stats(n_docs=int(srow["n"]), sum_dl=int(srow["s"]))
+
+    # ---- term frequencies: ONE wide shuffle at token grain
+    tf = (
+        tokens.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+    # ---- per-term global stats + salting decision
+    term_stats = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+        .withColumn(
+            "n_salts",
+            F.when(F.col("df") > salt_threshold, F.lit(n_salts)).otherwise(F.lit(1)),
+        )
+    )
+    if cache:
+        term_stats = term_stats.persist()
+
+    # ---- postings encode: co-partitioned term-keyed join + grouped-map UDF
+    enriched = (
+        tf.join(term_stats, "term")  # shuffle on term; reused by the groupBy below
+        .join(docs.select("doc_id", "dl_byte"), "doc_id")
+        .withColumn("salt", F.pmod(F.col("doc_id"), F.col("n_salts")).cast("int"))
+    )
+
+    n_docs, avgdl = stats.n_docs, stats.avgdl
+
+    def encode_group(pdf):
+        import pandas as pd
+
+        term = pdf["term"].iloc[0]
+        salt = int(pdf["salt"].iloc[0])
+        df_global = int(pdf["df"].iloc[0])
+        idf = float(codec.bm25_idf(df_global, n_docs))
+        rows = codec.encode_blocks(
+            pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy(),
+            pdf["dl_byte"].to_numpy(), idf, avgdl, k1, b,
+        )
+        out = pd.DataFrame(rows)
+        out.insert(0, "term", term)
+        out.insert(1, "salt", salt)
+        out.insert(2, "bucket", 0)  # filled below (needs xxhash64 = JVM)
+        out.insert(3, "df", df_global)
+        return out
+
+    postings = (
+        enriched.groupBy("term", "salt")
+        .applyInPandas(encode_group, schema=POSTINGS_SCHEMA)
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    )
+    if cache:
+        postings = postings.persist()
+
+    return Index(
+        docs=docs, postings=postings, term_stats=term_stats, stats=stats,
+        k1=k1, b=b, n_buckets=n_buckets,
+        meta={"tokenizer": tokenizer, "salt_threshold": salt_threshold,
+              "n_salts": n_salts},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Segment persistence: write / load / resume + per-partition lineage
+# ---------------------------------------------------------------------------
+
+_TABLES = ("docs", "postings", "term_stats")
+
+
+def _done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def write_index(index: Index, out_dir: str, resume: bool = True) -> dict:
+    """Write segment tables + manifest. Idempotent/resumable per table:
+    a table directory with _SUCCESS is skipped on re-run (translog analog:
+    InternalEngine#recoverFromTranslog ≙ skip-if-committed, SURVEY §1.1).
+
+    Returns the manifest dict (also written to <out_dir>/manifest.json),
+    including per-bucket lineage metrics (north_rule requirement).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    t0 = time.time()
+    wrote = []
+    for name in _TABLES:
+        path = os.path.join(out_dir, name)
+        if resume and _done(path):
+            continue
+        df = getattr(index, name)
+        if name == "postings":
+            df.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        else:
+            df.write.mode("overwrite").parquet(path)
+        wrote.append(name)
+
+    # per-bucket lineage metrics from the written postings
+    spark = index.postings.sparkSession
+    lineage = [
+        r.asDict()
+        for r in (
+            spark.read.parquet(os.path.join(out_dir, "postings"))
+            .groupBy("bucket")
+            .agg(
+                F.countDistinct("term").alias("n_terms"),
+                F.count("*").alias("n_blocks"),
+                F.sum("n_in_block").alias("n_postings"),
+                (F.sum(F.length("docid_gaps")) + F.sum(F.length("tfs_enc"))
+                 + F.sum(F.length("norms_enc"))).alias("bytes"),
+            )
+            .orderBy("bucket")
+            .collect()
+        )
+    ]
+    manifest = {
+        "seg_id": os.path.basename(out_dir.rstrip("/")),
+        "n_docs": index.stats.n_docs,
+        "sum_dl": index.stats.sum_dl,
+        "avgdl": index.stats.avgdl,
+        "k1": index.k1,
+        "b": index.b,
+        "n_buckets": index.n_buckets,
+        "meta": index.meta,
+        "tables_written": wrote,
+        "build_wall_sec": round(time.time() - t0, 3),
+        "lineage": lineage,
+        "status": "committed",
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def load_index(spark: SparkSession, out_dir: str) -> Index:
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        m = json.load(f)
+    return Index(
+        docs=spark.read.parquet(os.path.join(out_dir, "docs")),
+        postings=spark.read.parquet(os.path.join(out_dir, "postings")),
+        term_stats=spark.read.parquet(os.path.join(out_dir, "term_stats")),
+        stats=Stats(n_docs=m["n_docs"], sum_dl=m["sum_dl"]),
+        k1=m["k1"], b=m["b"], n_buckets=m["n_buckets"], meta=m.get("meta", {}),
+    )

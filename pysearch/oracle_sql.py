@@ -1,0 +1,111 @@
+"""DuckDB oracle-SQL generators for the driver correctness contract.
+
+The driver runs each __spark_entry__.queries() entry AND the matching
+oracle_sql() string side-by-side at sf0.01 and compares row-count, schema
+and an order-insensitive value hash. BM25 is fully SQL-expressible, so the
+flagship scoring path gets a STRONG oracle (not rows-only): the SQL below
+recomputes tokenization (RE2 regexes identical to pysearch.analysis),
+SmallFloat doc-length quantization (codec.duckdb_dlq_expr) and Lucene-8
+BM25 from scratch in DuckDB. Scores are rounded to ROUND_DIGITS on both
+sides (engine computes in float64; cross-system libm/sum-order noise is
+~1e-15, far below the rounding grain).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from . import analysis, codec
+
+ROUND_DIGITS = 4
+
+
+def _quote(t: str) -> str:
+    return "'" + t.replace("'", "''") + "'"
+
+
+def corpus_ctes(table: str = "documents", text_col: str = "text") -> str:
+    """Shared CTE prefix: tok2 (post-stop tokens), dl (per-doc length incl.
+    zero-token docs), stats (N, avgdl)."""
+    return f"""
+tok AS (
+  SELECT doc_id, unnest({analysis.duckdb_tokens_expr(text_col)}) AS term
+  FROM {table}
+),
+tok2 AS (SELECT doc_id, term FROM tok WHERE {analysis.duckdb_stop_pred('term')}),
+dl AS (
+  SELECT d.doc_id, count(t.term)::BIGINT AS dl
+  FROM {table} d LEFT JOIN tok2 t ON d.doc_id = t.doc_id
+  GROUP BY d.doc_id
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / count(*) AS avgdl
+  FROM {table}
+)"""
+
+
+def bm25_topk_sql(query_text: str, k: int, mode: str = "or",
+                  table: str = "documents") -> str:
+    """Top-k BM25 (Lucene-8 form, quantized dl) as one DuckDB query.
+
+    Produces columns (doc_id BIGINT, score DOUBLE) — score rounded to
+    ROUND_DIGITS; top-k selected on the RAW score with doc_id tie-break,
+    exactly like the engine."""
+    terms = analysis.analyze(query_text)
+    if not terms:
+        return f"SELECT doc_id, 0.0::DOUBLE AS score FROM {table} WHERE 1=0"
+    weights = Counter(terms)
+    qw_vals = ", ".join(f"({_quote(t)}, {w}.0)" for t, w in sorted(weights.items()))
+    in_list = ", ".join(_quote(t) for t in sorted(weights))
+    k1, b = analysis.K1, analysis.B
+    dlq = codec.duckdb_dlq_expr("dl.dl")
+    and_filter = f"HAVING count(*) = {len(weights)}" if mode == "and" else ""
+    return f"""
+WITH {corpus_ctes(table)},
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok2 WHERE term IN ({in_list}) GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+qw(term, weight) AS (VALUES {qw_vals}),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {dlq} / s.avgdl)))
+           * qw.weight AS contrib
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN qw USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, sum(contrib) AS score_raw
+  FROM scored GROUP BY doc_id {and_filter}
+),
+topk AS (
+  SELECT doc_id, score_raw FROM agg
+  ORDER BY score_raw DESC, doc_id ASC LIMIT {k}
+)
+SELECT doc_id, round(score_raw, {ROUND_DIGITS}) AS score FROM topk
+"""
+
+
+def count_sql(query_text: str, mode: str = "or", table: str = "documents") -> str:
+    terms = analysis.analyze(query_text)
+    if not terms:
+        return "SELECT 0::BIGINT AS cnt"
+    uniq = sorted(set(terms))
+    in_list = ", ".join(_quote(t) for t in uniq)
+    having = f"HAVING count(DISTINCT term) = {len(uniq)}" if mode == "and" else ""
+    return f"""
+WITH {corpus_ctes(table)},
+m AS (
+  SELECT doc_id FROM tok2 WHERE term IN ({in_list})
+  GROUP BY doc_id {having}
+)
+SELECT count(*)::BIGINT AS cnt FROM m
+"""
