@@ -75,12 +75,30 @@ _BM25_CASES = {
 }
 
 
+def _registries():
+    """Breadth modules (SURVEY §2.5–§2.8 + training-data pipeline ops),
+    each exposing REGISTRY: dict[name, Entry(fn, sql)]."""
+    import importlib
+
+    mods = []
+    for m in ("relational", "dedup", "similarity", "textstats", "multimodal",
+              "phrase"):
+        try:
+            mods.append(importlib.import_module(f"pysearch.{m}"))
+        except ImportError:
+            pass
+    return mods
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, (text, k, mode) in _BM25_CASES.items():
         out[name] = _topk(text, k, mode)
     out["q_count_or"] = _count("merge sort")
     out["q_count_and"] = _count("merge sort", mode="and")
+    for mod in _registries():
+        for name, entry in mod.REGISTRY.items():
+            out[name] = entry.fn
     return out
 
 
@@ -91,4 +109,8 @@ def oracle_sql() -> dict[str, str]:
     }
     out["q_count_or"] = osql.count_sql("merge sort")
     out["q_count_and"] = osql.count_sql("merge sort", mode="and")
+    for mod in _registries():
+        for name, entry in mod.REGISTRY.items():
+            if entry.sql is not None:
+                out[name] = entry.sql
     return out

@@ -1,0 +1,560 @@
+"""Structured-query surface: ES filters, aggregations, pipeline aggs,
+sort/pagination and scalar functions re-expressed as native Spark DataFrame
+plans (SURVEY §2.5–§2.8).
+
+In the reference every one of these is a hand-written operator class
+(`index/query/*QueryBuilder.java`, `search/aggregations/**`); on Spark they
+are declarative one-liners that Catalyst plans with predicate pushdown,
+partial/final HashAggregate and whole-stage codegen — no custom execution
+code is needed, which IS the design (see SURVEY §4.1). Every entry ships a
+DuckDB oracle with identically-aliased columns.
+
+Determinism notes:
+  * money sums go through DECIMAL(18,4) so the aggregation is exact integer
+    arithmetic on both engines (double summation order differs between
+    Spark partial/final agg and DuckDB — at 60k rows the fp drift can reach
+    ~1e-2 absolute), then cast back to DOUBLE and rounded.
+  * date bucket keys are formatted as 'yyyy-MM-dd' strings on both sides.
+  * every ORDER BY carries a full tie-break chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import analysis
+from .registry import Entry, tbl
+
+REGISTRY: dict[str, Entry] = {}
+
+
+def _reg(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = Entry(fn=fn, sql=sql)
+        return fn
+    return deco
+
+
+def _money_sum(col: str):
+    """Exact money aggregation: double -> decimal(18,4) -> sum -> double."""
+    return F.sum(F.col(col).cast("decimal(18,4)")).cast("double")
+
+
+_MONEY_SQL = "CAST(sum(CAST({c} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# §2.5 structured filters  (ES: index/query/*QueryBuilder.java — unscored
+# bitset filters; Spark: plain `where`, pushed to the parquet scan)
+# ---------------------------------------------------------------------------
+
+@_reg("f_terms", """
+SELECT doc_id, lang FROM documents WHERE lang IN ('de', 'fr')
+ORDER BY doc_id""")
+def f_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermsQueryBuilder ≙ col.isin — pushed down to the parquet scan."""
+    return (tbl(spark, sf_dir, "documents")
+            .where(F.col("lang").isin("de", "fr"))
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+@_reg("f_range", """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 20 AND l_shipdate >= TIMESTAMP '1998-01-01'
+ORDER BY l_orderkey, l_linenumber""")
+def f_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RangeQueryBuilder ≙ between; BKD-tree pruning ≙ parquet min/max skip."""
+    return (tbl(spark, sf_dir, "lineitem")
+            .where(F.col("l_quantity").between(10, 20)
+                   & (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")))
+            .select("l_orderkey", "l_linenumber", "l_quantity")
+            .orderBy("l_orderkey", "l_linenumber"))
+
+
+@_reg("f_exists", """
+SELECT count(*) AS cnt FROM events WHERE props IS NOT NULL""")
+def f_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (tbl(spark, sf_dir, "events")
+            .where(F.col("props").isNotNull())
+            .agg(F.count("*").alias("cnt")))
+
+
+@_reg("f_prefix", """
+SELECT p_partkey, p_name FROM part WHERE p_name LIKE 'red%'
+ORDER BY p_partkey""")
+def f_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrefixQueryBuilder ≙ LIKE 'x%' (StartsWith pushes to parquet)."""
+    return (tbl(spark, sf_dir, "part")
+            .where(F.col("p_name").startswith("red"))
+            .select("p_partkey", "p_name").orderBy("p_partkey"))
+
+
+@_reg("f_wildcard", """
+SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%l_e %'
+ORDER BY p_partkey""")
+def f_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WildcardQueryBuilder: ES '*'/'?' ≙ SQL '%'/'_' (pattern '*l?e *')."""
+    return (tbl(spark, sf_dir, "part")
+            .where(F.col("p_name").like("%l_e %"))
+            .select("p_partkey", "p_name").orderBy("p_partkey"))
+
+
+@_reg("f_regexp", """
+SELECT doc_id FROM documents WHERE regexp_matches(text, 'merge [a-z]+ sort')
+ORDER BY doc_id""")
+def f_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexpQueryBuilder ≙ rlike (RE2-safe pattern for the oracle)."""
+    return (tbl(spark, sf_dir, "documents")
+            .where(F.col("text").rlike("merge [a-z]+ sort"))
+            .select("doc_id").orderBy("doc_id"))
+
+
+@_reg("f_fuzzy", f"""
+WITH tok AS (
+  SELECT doc_id, unnest({analysis.duckdb_tokens_expr('text')}) AS term
+  FROM documents
+),
+vocab AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT term, df FROM vocab
+WHERE levenshtein(term, 'merge') <= 1 ORDER BY term""")
+def f_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzyQueryBuilder: Levenshtein ≤ d over the (small) term dictionary,
+    exactly Lucene's automaton-over-terms-dict shape ([lucene dep]
+    FuzzyQuery): expand on the vocabulary, not the corpus."""
+    d = tbl(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(analysis.tokens_expr(F.col("text"))).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    return (vocab.where(F.levenshtein(F.col("term"), F.lit("merge")) <= 1)
+            .orderBy("term"))
+
+
+@_reg("f_ids", """
+SELECT doc_id, lang, source FROM documents WHERE doc_id IN (3, 77, 141)
+ORDER BY doc_id""")
+def f_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (tbl(spark, sf_dir, "documents")
+            .where(F.col("doc_id").isin(3, 77, 141))
+            .select("doc_id", "lang", "source").orderBy("doc_id"))
+
+
+@_reg("f_match_all", "SELECT count(*) AS cnt FROM documents")
+def f_match_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tbl(spark, sf_dir, "documents").agg(F.count("*").alias("cnt"))
+
+
+@_reg("f_match_none", "SELECT count(*) AS cnt FROM documents WHERE 1=0")
+def f_match_none(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (tbl(spark, sf_dir, "documents")
+            .where(F.lit(False)).agg(F.count("*").alias("cnt")))
+
+
+@_reg("f_terms_set", f"""
+WITH tok AS (
+  SELECT doc_id, unnest({analysis.duckdb_tokens_expr('text')}) AS term
+  FROM documents
+)
+SELECT doc_id, count(DISTINCT term) AS n_matched FROM tok
+WHERE term IN ('merge', 'sort', 'window')
+GROUP BY doc_id HAVING count(DISTINCT term) >= 2
+ORDER BY doc_id""")
+def f_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermsSetQueryBuilder: docs matching >= m of n terms."""
+    d = tbl(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(analysis.tokens_expr(F.col("text"))).alias("term"))
+    return (tok.where(F.col("term").isin("merge", "sort", "window"))
+            .groupBy("doc_id").agg(F.count_distinct("term").alias("n_matched"))
+            .where(F.col("n_matched") >= 2).orderBy("doc_id"))
+
+
+@_reg("f_json_field", """
+SELECT event_type, count(*) AS cnt FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+GROUP BY event_type ORDER BY event_type""")
+def f_json_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-field / nested-ish predicate over the JSON props column
+    (ES: dynamic object field query) via schema-on-read."""
+    return (tbl(spark, sf_dir, "events")
+            .where(F.get_json_object("props", "$.k").cast("int") > 50)
+            .groupBy("event_type").agg(F.count("*").alias("cnt"))
+            .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# §2.6 aggregations  (ES: search/aggregations/** — per-shard partials +
+# coordinator reduce ≙ Spark partial/final HashAggregate, for free)
+# ---------------------------------------------------------------------------
+
+@_reg("agg_terms", """
+SELECT lang, count(*) AS cnt FROM documents
+GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 3""")
+def agg_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermsAggregator top-N buckets — exact here (ES's cross-shard result
+    is approximate with error bounds; documented difference, SURVEY §2.6)."""
+    return (tbl(spark, sf_dir, "documents")
+            .groupBy("lang").agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("lang")).limit(3))
+
+
+@_reg("agg_histogram", """
+SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS bucket, count(*) AS cnt,
+       {m} AS sum_value
+FROM events GROUP BY bucket ORDER BY bucket""".format(m=_MONEY_SQL.format(c="value")))
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (tbl(spark, sf_dir, "events")
+            .groupBy((F.floor(F.col("value") / 50) * 50).alias("bucket"))
+            .agg(F.count("*").alias("cnt"), _money_sum("value").alias("sum_value"))
+            .orderBy("bucket"))
+
+
+@_reg("agg_date_histogram", """
+SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS cnt FROM events
+GROUP BY day ORDER BY day""")
+def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (tbl(spark, sf_dir, "events")
+            .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.count("*").alias("cnt")).orderBy("day"))
+
+
+@_reg("agg_range", """
+SELECT CASE WHEN n_chars < 150 THEN 'short'
+            WHEN n_chars < 300 THEN 'medium' ELSE 'long' END AS bucket,
+       count(*) AS cnt
+FROM documents GROUP BY bucket ORDER BY bucket""")
+def agg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = (F.when(F.col("n_chars") < 150, "short")
+         .when(F.col("n_chars") < 300, "medium").otherwise("long"))
+    return (tbl(spark, sf_dir, "documents")
+            .groupBy(b.alias("bucket")).agg(F.count("*").alias("cnt"))
+            .orderBy("bucket"))
+
+
+@_reg("agg_filters", """
+SELECT count(*) FILTER (WHERE event_type = 'click')    AS clicks,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+       count(*) FILTER (WHERE value > 100)             AS big_value
+FROM events""")
+def agg_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FiltersAggregator: one bucket per named filter, one pass."""
+    return tbl(spark, sf_dir, "events").agg(
+        F.count_if(F.col("event_type") == "click").alias("clicks"),
+        F.count_if(F.col("event_type") == "purchase").alias("purchases"),
+        F.count_if(F.col("value") > 100).alias("big_value"))
+
+
+@_reg("agg_composite", """
+SELECT * FROM (
+  SELECT lang, source, count(*) AS cnt FROM documents GROUP BY lang, source)
+WHERE (lang, source) > ('en', 'src12')
+ORDER BY lang, source LIMIT 10""")
+def agg_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CompositeAggregator: keyset-paginated multi-source buckets
+    (after_key = ('en','src12'))."""
+    g = (tbl(spark, sf_dir, "documents")
+         .groupBy("lang", "source").agg(F.count("*").alias("cnt")))
+    after = (F.col("lang") > "en") | (
+        (F.col("lang") == "en") & (F.col("source") > "src12"))
+    return g.where(after).orderBy("lang", "source").limit(10)
+
+
+@_reg("agg_metrics_stats", """
+SELECT count(*) AS cnt,
+       min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+       {s} AS sum_q, round(avg(l_quantity), 4) AS avg_q
+FROM lineitem""".format(s=_MONEY_SQL.format(c="l_quantity")))
+def agg_metrics_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StatsAggregator: the five scalar metrics in one pass (ES Kahan-sums
+    doubles; we get exactness via decimal instead)."""
+    return tbl(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("cnt"),
+        F.min("l_quantity").alias("min_q"), F.max("l_quantity").alias("max_q"),
+        _money_sum("l_quantity").alias("sum_q"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_q"))
+
+
+@_reg("agg_extended_stats", """
+SELECT round(var_pop(l_discount), 8) AS var_d,
+       round(stddev_pop(l_discount), 8) AS std_d
+FROM lineitem""")
+def agg_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tbl(spark, sf_dir, "lineitem").agg(
+        F.round(F.var_pop("l_discount"), 8).alias("var_d"),
+        F.round(F.stddev_pop("l_discount"), 8).alias("std_d"))
+
+
+@_reg("agg_cardinality", """
+SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem""")
+def agg_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CardinalityAggregator — exact flavor for the oracle; the HLL++ twin
+    (approx_count_distinct) is agg_cardinality_approx (rows-only check)."""
+    return tbl(spark, sf_dir, "lineitem").agg(
+        F.count_distinct("l_partkey").alias("n_parts"))
+
+
+@_reg("agg_cardinality_approx", None)  # sketch: no exact SQL oracle by design
+def agg_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ — same algorithm family as ES CardinalityAggregator
+    (metrics/HyperLogLogPlusPlus.java). Tested vs exact count in tests/."""
+    return tbl(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("n_parts_approx"))
+
+
+@_reg("agg_percentiles", """
+SELECT round(quantile_cont(l_quantity, 0.5), 4)  AS p50,
+       round(quantile_cont(l_quantity, 0.95), 4) AS p95
+FROM lineitem""")
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PercentilesAggregator — exact linear-interpolation percentile
+    (Spark `percentile` == DuckDB `quantile_cont`); the t-digest approx
+    twin is percentile_approx, checked within tolerance in tests/."""
+    return tbl(spark, sf_dir, "lineitem").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.95)), 4).alias("p95"))
+
+
+@_reg("agg_top_hits", """
+SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+  FROM lineitem) WHERE rn <= 2
+ORDER BY l_returnflag, l_orderkey, l_linenumber""")
+def agg_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopHitsAggregator: top-k rows per bucket via ranked window."""
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+    return (tbl(spark, sf_dir, "lineitem")
+            .withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 2)
+            .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+            .orderBy("l_returnflag", "l_orderkey", "l_linenumber"))
+
+
+@_reg("agg_weighted_avg", """
+SELECT round(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+           / CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS wavg
+FROM lineitem""")
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    num = F.sum((F.col("l_extendedprice") * F.col("l_quantity"))
+                .cast("decimal(28,6)")).cast("double")
+    den = F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+    return li.agg(F.round(num / den, 4).alias("wavg"))
+
+
+# ---------------------------------------------------------------------------
+# §2.6 pipeline aggregations  (ES: pipeline/*PipelineAggregator.java —
+# post-agg transforms ≙ window functions over the agg result)
+# ---------------------------------------------------------------------------
+
+_DAILY_SQL = """
+daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS cnt FROM events
+  GROUP BY day
+)"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (tbl(spark, sf_dir, "events")
+            .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.count("*").alias("cnt")))
+
+
+@_reg("pipe_cumsum", f"""
+WITH {_DAILY_SQL}
+SELECT day, cnt, sum(cnt) OVER (ORDER BY day
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+FROM daily ORDER BY day""")
+def pipe_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (_daily(spark, sf_dir)
+            .withColumn("cum", F.sum("cnt").over(w)).orderBy("day"))
+
+
+@_reg("pipe_derivative", f"""
+WITH {_DAILY_SQL}
+SELECT day, cnt, cnt - lag(cnt) OVER (ORDER BY day) AS delta
+FROM daily ORDER BY day""")
+def pipe_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("day")
+    return (_daily(spark, sf_dir)
+            .withColumn("delta", F.col("cnt") - F.lag("cnt").over(w))
+            .orderBy("day"))
+
+
+@_reg("pipe_moving_avg", f"""
+WITH {_DAILY_SQL}
+SELECT day, round(avg(cnt) OVER (ORDER BY day
+  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mov7
+FROM daily ORDER BY day""")
+def pipe_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return (_daily(spark, sf_dir)
+            .select("day", F.round(F.avg("cnt").over(w), 4).alias("mov7"))
+            .orderBy("day"))
+
+
+@_reg("pipe_bucket_selector", f"""
+WITH {_DAILY_SQL}
+SELECT day, cnt FROM daily WHERE cnt > 340 ORDER BY day""")
+def pipe_bucket_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _daily(spark, sf_dir).where(F.col("cnt") > 340).orderBy("day")
+
+
+@_reg("pipe_bucket_sort", f"""
+WITH {_DAILY_SQL}
+SELECT day, cnt FROM daily ORDER BY cnt DESC, day ASC LIMIT 5""")
+def pipe_bucket_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _daily(spark, sf_dir).orderBy(F.desc("cnt"), F.asc("day")).limit(5)
+
+
+# ---------------------------------------------------------------------------
+# §2.7 sort / pagination / collapse / set ops
+# ---------------------------------------------------------------------------
+
+@_reg("sort_field", """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20 OFFSET 10""")
+def sort_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FieldSortBuilder + from/size offset paging (TakeOrderedAndProject)."""
+    return (tbl(spark, sf_dir, "orders")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .select("o_orderkey", "o_totalprice").offset(10).limit(20))
+
+
+@_reg("search_after", """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice < 50000 OR (o_totalprice = 50000 AND o_orderkey > 100)
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")
+def search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SearchAfterBuilder: keyset pagination from (50000, 100) — unlike
+    from/size it stays O(k) however deep the page."""
+    o = tbl(spark, sf_dir, "orders")
+    after = (F.col("o_totalprice") < 50000) | (
+        (F.col("o_totalprice") == 50000) & (F.col("o_orderkey") > 100))
+    return (o.where(after)
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .select("o_orderkey", "o_totalprice").limit(10))
+
+
+@_reg("collapse", """
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents) WHERE rn = 1
+ORDER BY lang""")
+def collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollapseBuilder: dedupe by field keeping the best hit per group."""
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (tbl(spark, sf_dir, "documents")
+            .withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+            .select("lang", "doc_id", "n_chars").orderBy("lang"))
+
+
+_TOK_CTE = f"""
+tok AS (
+  SELECT doc_id, unnest({analysis.duckdb_tokens_expr('text')}) AS term
+  FROM documents
+)"""
+
+
+@_reg("setop_intersect", f"""
+WITH {_TOK_CTE}
+SELECT doc_id FROM tok WHERE term = 'merge'
+INTERSECT
+SELECT doc_id FROM tok WHERE term = 'window'
+ORDER BY doc_id""")
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool.must over two term filters IS doc-set intersection (§2.7)."""
+    d = tbl(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(analysis.tokens_expr(F.col("text"))).alias("term"))
+    a = tok.where(F.col("term") == "merge").select("doc_id")
+    b = tok.where(F.col("term") == "window").select("doc_id")
+    return a.intersect(b).orderBy("doc_id")
+
+
+@_reg("setop_except", f"""
+WITH {_TOK_CTE}
+SELECT doc_id FROM tok WHERE term = 'merge'
+EXCEPT
+SELECT doc_id FROM tok WHERE term = 'window'
+ORDER BY doc_id""")
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool.must_not ≙ doc-set difference (anti-join)."""
+    d = tbl(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(analysis.tokens_expr(F.col("text"))).alias("term"))
+    a = tok.where(F.col("term") == "merge").select("doc_id").distinct()
+    b = tok.where(F.col("term") == "window").select("doc_id").distinct()
+    return a.subtract(b).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar-function surface + the one analytic join shape
+# ---------------------------------------------------------------------------
+
+@_reg("fn_scalar", """
+SELECT event_id,
+       upper(event_type) AS et_upper,
+       length(event_type) AS et_len,
+       CAST(year(ts) AS INT) AS y,
+       CAST(month(ts) AS INT) AS m,
+       round(sqrt(value), 4) AS sq,
+       round(ln(value + 1), 4) AS lg
+FROM events WHERE event_id < 50 ORDER BY event_id""")
+def fn_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-fields analog: per-row scalar compute via built-in functions
+    (ES needs Painless — modules/lang-painless; Spark has the whole
+    pyspark.sql.functions namespace JVM-side)."""
+    return (tbl(spark, sf_dir, "events").where(F.col("event_id") < 50)
+            .select("event_id",
+                    F.upper("event_type").alias("et_upper"),
+                    F.length("event_type").alias("et_len"),
+                    F.year("ts").alias("y"), F.month("ts").alias("m"),
+                    F.round(F.sqrt("value"), 4).alias("sq"),
+                    F.round(F.log(F.col("value") + 1), 4).alias("lg"))
+            .orderBy("event_id"))
+
+
+@_reg("fn_json_extract", """
+SELECT round(CAST(sum(CAST(CAST(json_extract_string(props, '$.k') AS INTEGER)
+  AS DECIMAL(18,0))) AS DOUBLE), 1) AS sum_k
+FROM events""")
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tbl(spark, sf_dir, "events").agg(
+        F.round(F.sum(F.get_json_object("props", "$.k").cast("int")
+                      .cast("decimal(18,0)")).cast("double"), 1).alias("sum_k"))
+
+
+@_reg("fn_higher_order", """
+SELECT doc_id,
+       len(list_filter(str_split(text, ' '), x -> len(x) > 5)) AS n_long
+FROM documents WHERE doc_id < 20 ORDER BY doc_id""")
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (nested-field surface, SURVEY §2.8)."""
+    return (tbl(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+            .select("doc_id",
+                    F.size(F.filter(F.split("text", " "),
+                                    lambda x: F.length(x) > 5)).alias("n_long"))
+            .orderBy("doc_id"))
+
+
+@_reg("join_star_revenue", """
+SELECT n.n_name AS nation,
+       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY nation ORDER BY revenue DESC, nation""")
+def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-index/star join ES cannot express (no joins in the
+    reference, SURVEY §4.1): fact ⋈ broadcast(dims) → agg. Catalyst
+    broadcasts customer+nation (small dims) — verified in plan tests."""
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.round(_money_sum("o_totalprice"), 2).alias("revenue"),
+                 F.count("*").alias("n_orders"))
+            .orderBy(F.desc("revenue"), "nation"))
