@@ -139,3 +139,10 @@ def duckdb_tokens_expr(text_col: str) -> str:
 def duckdb_stop_pred(term_col: str) -> str:
     quoted = ", ".join(f"'{w}'" for w in STOPWORDS)
     return f"{term_col} NOT IN ({quoted})"
+
+
+def duckdb_tokens_nostop_expr(text_col: str) -> str:
+    """DuckDB expression: fully-analyzed token list (stopwords removed) —
+    the exact equivalent of tokens_expr()/analyze()."""
+    return (f"list_filter({duckdb_tokens_expr(text_col)}, "
+            f"x -> {duckdb_stop_pred('x')})")
