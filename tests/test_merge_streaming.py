@@ -1,0 +1,94 @@
+"""Segment merge + streaming ingest: merge(build(A), build(B)) must be
+byte-identical to build(A ∪ B); streaming micro-batches must converge to
+the same searchable index as one batch build."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _full_corpus(spark):
+    from pysearch import build
+
+    return build.corpus_from_documents(spark, SF)
+
+
+def _postings_key(df):
+    return sorted(
+        (r["term"], r["salt"], r["block_id"], r["df"], r["n_in_block"],
+         r["first_doc_id"], bytes(r["docid_gaps"]), bytes(r["tfs_enc"]),
+         bytes(r["norms_enc"]), r["block_max_tf"],
+         round(r["block_max_score"], 12), r["bucket"])
+        for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def split_build(spark):
+    from pysearch import build, merge
+
+    corpus = _full_corpus(spark)
+    a = corpus.where(F.col("doc_id") % 2 == 0)
+    b = corpus.where(F.col("doc_id") % 2 == 1)
+    kw = dict(n_buckets=8, salt_threshold=50, n_salts=4)
+    ia = build.build_index(spark, a, **kw)
+    ib = build.build_index(spark, b, **kw)
+    merged = merge.merge_indexes(spark, [ia, ib])
+    full = build.build_index(spark, corpus, **kw)
+    return merged, full
+
+
+def test_merge_stats_equal_full_build(split_build):
+    merged, full = split_build
+    assert merged.stats.n_docs == full.stats.n_docs
+    assert merged.stats.sum_dl == full.stats.sum_dl
+    ts_m = {r["term"]: (r["df"], r["cf"], r["n_salts"])
+            for r in merged.term_stats.collect()}
+    ts_f = {r["term"]: (r["df"], r["cf"], r["n_salts"])
+            for r in full.term_stats.collect()}
+    assert ts_m == ts_f
+
+
+def test_merge_postings_byte_identical(split_build):
+    merged, full = split_build
+    assert _postings_key(merged.postings) == _postings_key(full.postings)
+
+
+def test_merge_queries_rank_identical(spark, split_build):
+    from pysearch import exec as pexec
+
+    merged, full = split_build
+    for text, mode in [("value merge sort", "or"), ("merge sort", "and")]:
+        hm = [(r["doc_id"], round(r["score"], 10))
+              for r in pexec.search(merged, text, k=10, mode=mode).collect()]
+        hf = [(r["doc_id"], round(r["score"], 10))
+              for r in pexec.search(full, text, k=10, mode=mode).collect()]
+        assert hm == hf
+
+
+def test_streaming_ingest_converges(spark, tmp_path):
+    """Two corpus files arrive as a stream -> segments; the merged reader
+    view answers queries identically to a one-shot batch build."""
+    from pysearch import build, exec as pexec, streaming
+
+    corpus = _full_corpus(spark).limit(200).cache()
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "segments")
+    os.makedirs(src, exist_ok=True)
+    corpus.where(F.col("doc_id") < 100).coalesce(1).write.mode("append").parquet(src)
+    streaming.stream_ingest(spark, src, out, n_buckets=8)
+    corpus.where(F.col("doc_id") >= 100).coalesce(1).write.mode("append").parquet(src)
+    streaming.stream_ingest(spark, src, out, n_buckets=8)
+
+    segs = streaming.load_segments(spark, out)
+    assert len(segs) >= 2          # one per micro-batch commit
+    view = streaming.searchable_index(spark, out)
+    batch = build.build_index(spark, corpus, n_buckets=8)
+    assert view.stats.n_docs == batch.stats.n_docs == 200
+    hs = [(r["doc_id"], round(r["score"], 10))
+          for r in pexec.search(view, "value merge", k=10).collect()]
+    hb = [(r["doc_id"], round(r["score"], 10))
+          for r in pexec.search(batch, "value merge", k=10).collect()]
+    assert hs == hb
