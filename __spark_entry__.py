@@ -82,12 +82,37 @@ def _registries():
 
     mods = []
     for m in ("relational", "dedup", "similarity", "textstats", "multimodal",
-              "phrase"):
+              "phrase", "ingest"):
         try:
             mods.append(importlib.import_module(f"pysearch.{m}"))
         except ImportError:
             pass
     return mods
+
+
+def _dis_max(text: str, k: int, tb: float):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = _index_for(spark, sf_dir)
+        hits = pexec.search_dis_max(idx, text, k=k, tie_breaker=tb)
+        return hits.select(
+            "doc_id", F.round("score", osql.ROUND_DIGITS).alias("score"))
+    return run
+
+
+def _constant_score(text: str, boost: float):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = _index_for(spark, sf_dir)
+        return pexec.search_constant_score(idx, text, boost=boost)
+    return run
+
+
+def _function_score(text: str, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = _index_for(spark, sf_dir)
+        hits = pexec.search_function_score(idx, text, k=k)
+        return hits.select(
+            "doc_id", F.round("score", osql.ROUND_DIGITS).alias("score"))
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -96,6 +121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _topk(text, k, mode)
     out["q_count_or"] = _count("merge sort")
     out["q_count_and"] = _count("merge sort", mode="and")
+    out["q_dis_max"] = _dis_max("value merge sort", 10, 0.3)
+    out["q_constant_score"] = _constant_score("merge sort", 2.5)
+    out["q_function_score"] = _function_score("value merge", 10)
     for mod in _registries():
         for name, entry in mod.REGISTRY.items():
             out[name] = entry.fn
@@ -109,6 +137,9 @@ def oracle_sql() -> dict[str, str]:
     }
     out["q_count_or"] = osql.count_sql("merge sort")
     out["q_count_and"] = osql.count_sql("merge sort", mode="and")
+    out["q_dis_max"] = osql.dis_max_sql("value merge sort", 10, 0.3)
+    out["q_constant_score"] = osql.constant_score_sql("merge sort", 2.5)
+    out["q_function_score"] = osql.function_score_sql("value merge", 10)
     for mod in _registries():
         for name, entry in mod.REGISTRY.items():
             if entry.sql is not None:

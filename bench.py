@@ -55,17 +55,33 @@ def main() -> None:
                       shuffle_partitions=max(cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
 
+    from pyspark import StorageLevel
+
     if synth_docs:
         from pysearch.datagen import synthetic_corpus
 
         corpus = synthetic_corpus(spark, synth_docs, n_partitions=cpus * 2)
-        corpus = corpus.persist()
+        corpus = corpus.persist(StorageLevel.DISK_ONLY)  # serialized: no heap bloat
         n_docs = corpus.count()  # materialize OUTSIDE the timed build
         queries = SYNTH_QUERIES
     else:
         corpus = pbuild.corpus_from_documents(spark, sf_dir).persist()
         n_docs = corpus.count()
         queries = QUERIES
+
+    # Steady-state measurement: a small untimed build first absorbs the
+    # one-off JVM JIT / codegen / Python-worker startup (~40 s of a cold
+    # session, ~10x the warm job time at this scale). Disable with
+    # PYSEARCH_BENCH_WARMUP=0 to measure the cold path instead.
+    if os.environ.get("PYSEARCH_BENCH_WARMUP", "1") != "0":
+        from pysearch.datagen import synthetic_corpus
+
+        warm = pbuild.build_index(
+            spark, synthetic_corpus(spark, 2000, n_partitions=cpus),
+            n_buckets=8)
+        warm.postings.count()
+        for df in (warm.postings, warm.docs, warm.term_stats):
+            df.unpersist()
 
     t0 = time.time()
     index = pbuild.build_index(spark, corpus, n_buckets=max(cpus, 16))
@@ -75,8 +91,11 @@ def main() -> None:
     index.term_stats.count()
     build_sec = time.time() - t0
 
-    # warm the Python workers / JVM paths before per-query timing
-    pexec.search(index, "warmup", k=1).collect()
+    # warm the Python workers / JVM paths before per-query timing — must be
+    # a term that EXISTS in the index, else the scoring UDF never spins up
+    # and the first timed query pays worker startup (~10 s)
+    warm_term = queries[1][1]  # the hot-term query's text
+    pexec.search(index, warm_term, k=1).collect()
 
     per_query: dict[str, float] = {}
     for name, text, k, mode in queries:

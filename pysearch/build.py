@@ -134,20 +134,35 @@ def build_index(
     k1: float = analysis.K1,
     b: float = analysis.B,
     cache: bool = True,
+    broadcast_dims: bool = True,
 ) -> Index:
     """Build all index tables from a corpus DataFrame (not yet written out)."""
-    tokens = tokenize(corpus, tokenizer)
+    if tokenizer == "native":
+        toks_col = analysis.tokens_expr(F.col("content"))
+    elif tokenizer == "pandas":
+        toks_col = analysis.pandas_tokens_udf()(F.col("content"))
+    else:
+        raise ValueError(tokenizer)
 
     # ---- forward index + norms (dl counts post-stopword tokens, SURVEY §8.7)
+    # Computed per-partition with NO shuffle: tokens are derived in place
+    # (a corpus ⋈ tokens join here would shuffle the full content strings —
+    # the most expensive possible exchange at 100 TB).
     docs = (
-        corpus.join(tokens, "doc_id")
+        corpus
         .withColumn("content_sha", F.sha2(F.col("content"), 256))
-        .withColumn("dl", F.size("tokens").cast("long"))
+        .withColumn("dl", F.size(toks_col).cast("long"))
         .withColumn("dl_byte", F.expr(codec.spark_byte4_sql("dl")).cast("int"))
-        .drop("tokens")
     )
     if cache:
-        docs = docs.persist()
+        # serialized cache: the forward index carries full content strings;
+        # deserialized row caching of it blows the heap and GC at 10^5+
+        # docs (measured superlinear build collapse). local dirs are tmpfs
+        # in this harness, so DISK_ONLY ≈ compact RAM cache.
+        from pyspark import StorageLevel
+
+        docs = docs.persist(StorageLevel.DISK_ONLY)
+    tokens = corpus.select("doc_id", toks_col.alias("tokens"))
 
     # ---- global collection stats (tiny: collect to driver, broadcast as lits)
     srow = docs.agg(
@@ -155,12 +170,22 @@ def build_index(
     ).collect()[0]
     stats = Stats(n_docs=int(srow["n"]), sum_dl=int(srow["s"]))
 
-    # ---- term frequencies: ONE wide shuffle at token grain
+    # ---- term frequencies: ONE wide shuffle at token grain.
+    # The tf subplan has two consumers (term_stats + encode); without a
+    # persist Spark recomputes the whole tokenize→explode→groupBy chain
+    # (ReuseExchange does not fire across the AQE boundary — verified in
+    # the physical plan). DISK_ONLY keeps the cache serialized/compact —
+    # deserialized caching of 10^7 tiny rows thrashes the heap, and the
+    # local harness points spark.local.dir at tmpfs anyway.
+    from pyspark import StorageLevel
+
     tf = (
         tokens.select("doc_id", F.explode("tokens").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
+    if cache:
+        tf = tf.persist(StorageLevel.DISK_ONLY)
 
     # ---- per-term global stats + salting decision
     term_stats = (
@@ -174,36 +199,87 @@ def build_index(
     if cache:
         term_stats = term_stats.persist()
 
-    # ---- postings encode: co-partitioned term-keyed join + grouped-map UDF
+    # ---- postings encode: term-keyed enrich + partition-wise encode UDF.
+    # Both dimension sides are EXPLICITLY broadcast: left to itself,
+    # Catalyst flipped the first join and broadcast the 10^7-row tf side
+    # (verified in the plan). At 10^12-doc scale, where vocab/doc-count
+    # outgrow a broadcast, these become shuffle-hash joins co-partitioned
+    # with the encode repartition (pass broadcast_dims=False).
+    dims = term_stats.select("term", "df", "n_salts")
+    dl_side = docs.select("doc_id", "dl_byte")
+    if broadcast_dims:
+        dims, dl_side = F.broadcast(dims), F.broadcast(dl_side)
     enriched = (
-        tf.join(term_stats, "term")  # shuffle on term; reused by the groupBy below
-        .join(docs.select("doc_id", "dl_byte"), "doc_id")
+        tf.join(dims, "term")
+        .join(dl_side, "doc_id")
         .withColumn("salt", F.pmod(F.col("doc_id"), F.col("n_salts")).cast("int"))
     )
 
     n_docs, avgdl = stats.n_docs, stats.avgdl
 
-    def encode_group(pdf):
+    # Encode partition-wise, not group-wise: repartition by (term, salt)
+    # then sort within partitions so each (term, salt) run is contiguous,
+    # and stream Arrow batches through ONE mapInPandas kernel per
+    # partition. applyInPandas would pay per-group Arrow/pandas overhead
+    # (~10 ms × |vocab| groups dominated the build); here the overhead is
+    # per 64k-row batch and the per-term work is pure numpy. Groups that
+    # straddle a batch boundary are carried into the next batch.
+    n_parts = int(enriched.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sorted_parts = (enriched.repartition(n_parts, "term", "salt")
+                    .sortWithinPartitions("term", "salt"))
+
+    def encode_partition(batches):
+        import numpy as np
         import pandas as pd
 
-        term = pdf["term"].iloc[0]
-        salt = int(pdf["salt"].iloc[0])
-        df_global = int(pdf["df"].iloc[0])
-        idf = float(codec.bm25_idf(df_global, n_docs))
-        rows = codec.encode_blocks(
-            pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy(),
-            pdf["dl_byte"].to_numpy(), idf, avgdl, k1, b,
-        )
-        out = pd.DataFrame(rows)
-        out.insert(0, "term", term)
-        out.insert(1, "salt", salt)
-        out.insert(2, "bucket", 0)  # filled below (needs xxhash64 = JVM)
-        out.insert(3, "df", df_global)
-        return out
+        cols = [f.name for f in POSTINGS_SCHEMA.fields]
+        carry: pd.DataFrame | None = None
+
+        def encode_run(doc_ids, tfs, dl_bytes, term, salt, df_global, out):
+            idf = float(codec.bm25_idf(df_global, n_docs))
+            for r in codec.encode_blocks(doc_ids, tfs, dl_bytes,
+                                         idf, avgdl, k1, b):
+                r["term"] = term
+                r["salt"] = salt
+                r["bucket"] = 0  # filled below (needs xxhash64 = JVM)
+                r["df"] = df_global
+                out.append(r)
+
+        def flush(pdf, last_partial):
+            """Encode all complete runs of pdf; return (rows, carry)."""
+            terms = pdf["term"].to_numpy()
+            salts = pdf["salt"].to_numpy()
+            change = np.flatnonzero((terms[1:] != terms[:-1])
+                                    | (salts[1:] != salts[:-1])) + 1
+            bounds = np.concatenate(([0], change, [len(pdf)]))
+            stop = len(bounds) - 2 if last_partial else len(bounds) - 1
+            doc_ids = pdf["doc_id"].to_numpy()
+            tfs = pdf["tf"].to_numpy()
+            dlb = pdf["dl_byte"].to_numpy()
+            dfs = pdf["df"].to_numpy()
+            out: list[dict] = []
+            for i in range(stop):
+                lo, hi = bounds[i], bounds[i + 1]
+                encode_run(doc_ids[lo:hi], tfs[lo:hi], dlb[lo:hi],
+                           terms[lo], int(salts[lo]), int(dfs[lo]), out)
+            rest = pdf.iloc[bounds[stop]:].copy() if last_partial else None
+            return out, rest
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            rows, carry = flush(pdf, last_partial=True)
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+        if carry is not None and len(carry):
+            rows, _ = flush(carry, last_partial=False)
+            yield pd.DataFrame(rows, columns=cols)
 
     postings = (
-        enriched.groupBy("term", "salt")
-        .applyInPandas(encode_group, schema=POSTINGS_SCHEMA)
+        sorted_parts.mapInPandas(encode_partition, schema=POSTINGS_SCHEMA)
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
     )
     if cache:

@@ -24,15 +24,22 @@ BLOCK_SIZE = 128  # docs per posting block (Lucene's ForUtil block size)
 # ---------------------------------------------------------------------------
 
 
-def encode_varint(values: np.ndarray) -> bytes:
-    """LEB128-style varint encode of a non-negative int array (vectorized)."""
+def varint_bytes_per_value(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length of each value: 1 + #(2^(7k) thresholds crossed)."""
     v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
-    # bytes needed per value: 1 + #(thresholds crossed)
     nb = np.ones(v.shape, dtype=np.int64)
     for k in range(1, 10):
         nb += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    return nb
+
+
+def encode_varint_array(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized LEB128 varint: returns (byte_array uint8, nb per value).
+    The nb array lets callers slice the stream at value boundaries."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
+    nb = varint_bytes_per_value(v)
     ends = np.cumsum(nb)
     starts = ends - nb
     out = np.zeros(int(ends[-1]), dtype=np.uint8)
@@ -43,6 +50,12 @@ def encode_varint(values: np.ndarray) -> bytes:
         chunk = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
         cont = np.where(nb[mask] > k + 1, 0x80, 0).astype(np.uint8)
         out[starts[mask] + k] = chunk.astype(np.uint8) | cont
+    return out, nb
+
+
+def encode_varint(values: np.ndarray) -> bytes:
+    """LEB128-style varint encode of a non-negative int array (vectorized)."""
+    out, _ = encode_varint_array(values)
     return out.tobytes()
 
 
@@ -196,20 +209,41 @@ def encode_blocks(
     dl_bytes = np.asarray(dl_bytes).astype(np.uint8)[order]
     dlq = byte4_to_int(dl_bytes)
     scores = bm25_tf_weight(tfs, dlq, avgdl, k1, b) * idf
+    n = len(doc_ids)
+    if n == 0:
+        return []
+
+    # --- fully vectorized across blocks (the per-block python loop was the
+    # hot spot of the whole build: ~0.4 ms × n_postings/128 iterations) ---
+    starts = np.arange(0, n, BLOCK_SIZE)
+    ends = np.minimum(starts + BLOCK_SIZE, n)
+    # gaps with a 0 reset at each block start (first_doc_id is stored
+    # separately; decode_gaps re-seeds gaps[0] with it)
+    gaps = np.diff(doc_ids, prepend=doc_ids[0])
+    gaps[starts] = 0
+    gap_stream, gap_nb = encode_varint_array(gaps.astype(np.uint64))
+    tf_stream, tf_nb = encode_varint_array(tfs.astype(np.uint64))
+    gap_off = np.concatenate(([0], np.cumsum(gap_nb)))
+    tf_off = np.concatenate(([0], np.cumsum(tf_nb)))
+    gap_b = gap_stream.tobytes()
+    tf_b = tf_stream.tobytes()
+    norm_b = dl_bytes.tobytes()
+    max_tf = np.maximum.reduceat(tfs, starts)
+    max_sc = np.maximum.reduceat(scores, starts)
+
     rows = []
-    for blk, lo in enumerate(range(0, len(doc_ids), BLOCK_SIZE)):
-        hi = min(lo + BLOCK_SIZE, len(doc_ids))
-        first, gaps = encode_gaps(doc_ids[lo:hi])
+    for blk in range(len(starts)):
+        lo, hi = int(starts[blk]), int(ends[blk])
         rows.append(
             {
                 "block_id": blk,
                 "n_in_block": hi - lo,
-                "first_doc_id": first,
-                "docid_gaps": gaps,
-                "tfs_enc": encode_varint(tfs[lo:hi].astype(np.uint64)),
-                "norms_enc": dl_bytes[lo:hi].tobytes(),
-                "block_max_tf": int(tfs[lo:hi].max()),
-                "block_max_score": float(scores[lo:hi].max()),
+                "first_doc_id": int(doc_ids[lo]),
+                "docid_gaps": gap_b[gap_off[lo]:gap_off[hi]],
+                "tfs_enc": tf_b[tf_off[lo]:tf_off[hi]],
+                "norms_enc": norm_b[lo:hi],
+                "block_max_tf": int(max_tf[blk]),
+                "block_max_score": float(max_sc[blk]),
             }
         )
     return rows

@@ -220,22 +220,28 @@ def _queries_df(index: Index, queries: list[Query]):
     return spark.createDataFrame(rows, schema)
 
 
-_BUCKET_CACHE: dict[tuple[str, int], int] = {}
+def term_meta(index: Index, terms: list[str]) -> dict[str, tuple[int, int]]:
+    """term -> (df, bucket) from term_stats, memoized on the Index.
 
-
-def term_buckets(spark, terms: list[str], n_buckets: int) -> dict[str, int]:
-    """term -> pmod(xxhash64(term), n_buckets), exactly as at build time.
-
-    xxhash64 lives JVM-side only, so unknown terms are resolved with one
-    tiny local Spark job and memoized (queries repeat terms heavily)."""
-    missing = [t for t in terms if (t, n_buckets) not in _BUCKET_CACHE]
+    One tiny Spark job resolves ALL missing terms of a query at once
+    (df for selectivity estimation + WAND, bucket = pmod(xxhash64, P) for
+    partition pruning — xxhash64 lives JVM-side only). Repeat queries hit
+    the cache and schedule zero extra jobs. ES analog: the terms
+    dictionary lookup that precedes posting iteration."""
+    cache = index.meta.setdefault("_term_cache", {})
+    missing = [t for t in terms if t not in cache]
     if missing:
-        tdf = spark.createDataFrame([(t,) for t in missing], "term string")
-        for r in tdf.select(
-            "term", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")
-        ).collect():
-            _BUCKET_CACHE[(r["term"], n_buckets)] = int(r["b"])
-    return {t: _BUCKET_CACHE[(t, n_buckets)] for t in terms}
+        rows = (
+            index.term_stats.where(F.col("term").isin(missing))
+            .select("term", "df",
+                    F.pmod(F.xxhash64("term"), F.lit(index.n_buckets))
+                    .cast("int").alias("bucket"))
+            .collect())
+        for r in rows:
+            cache[r["term"]] = (int(r["df"]), int(r["bucket"]))
+        for t in missing:
+            cache.setdefault(t, (0, -1))  # absent from the index
+    return {t: cache[t] for t in terms}
 
 
 def _candidates(index: Index, queries: list[Query]) -> DataFrame:
@@ -244,8 +250,8 @@ def _candidates(index: Index, queries: list[Query]) -> DataFrame:
     Bucket pruning: the IN-list on `bucket` prunes parquet partitions when
     the postings table is disk-backed (postings are partitionBy(bucket))."""
     terms = sorted({t for q in queries for t in q.terms})
-    spark = index.postings.sparkSession
-    buckets = sorted(set(term_buckets(spark, terms, index.n_buckets).values()))
+    meta = term_meta(index, terms)
+    buckets = sorted({b for _, b in meta.values() if b >= 0})
     qdf = _queries_df(index, queries)
     cand = index.postings.where(
         F.col("bucket").isin(buckets) & F.col("term").isin(terms)
@@ -278,14 +284,11 @@ def search_many(index: Index, queries: list[Query], method: str = "auto") -> Dat
 
 
 def _estimate_postings(index: Index, queries: list[Query]) -> int:
-    """Total candidate postings across queries: Σ_q Σ_{t∈q} df(t)."""
+    """Total candidate postings across queries: Σ_q Σ_{t∈q} df(t).
+    Served from the term_meta cache (shares its one lookup job)."""
     terms = sorted({t for q in queries for t in q.terms})
-    dfs = {
-        r["term"]: int(r["df"])
-        for r in index.term_stats.where(F.col("term").isin(terms))
-        .select("term", "df").collect()
-    }
-    return sum(dfs.get(t, 0) for q in queries for t in set(q.terms))
+    meta = term_meta(index, terms)
+    return sum(meta[t][0] for q in queries for t in set(q.terms))
 
 
 def _search_distributed(index: Index, queries: list[Query]) -> DataFrame:
@@ -361,6 +364,81 @@ def fetch(index: Index, hits: DataFrame, verify_sha: bool = True) -> DataFrame:
     if verify_sha:
         cols.append("sha_ok")
     return out.select(*cols).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def _per_term_scored(index: Index, terms: list[str]) -> DataFrame:
+    """(doc_id, term, score) — one row per matching (doc, clause), the
+    shared substrate for the compound scorers below (distributed path)."""
+    q = Query(0, terms, k=2**31 - 1, mode="or")
+    cand = _candidates(index, [q])
+    n_docs, avgdl, k1, b = index.stats.n_docs, index.stats.avgdl, index.k1, index.b
+
+    def decode_score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs = []
+            idf = codec.bm25_idf(pdf["df"].to_numpy(), n_docs)
+            for i in range(len(pdf)):
+                ids, tfs, dlq = _decode_rows(
+                    [pdf["first_doc_id"].iat[i]], [pdf["docid_gaps"].iat[i]],
+                    [pdf["tfs_enc"].iat[i]], [pdf["norms_enc"].iat[i]])
+                sc = idf[i] * codec.bm25_tf_weight(tfs, dlq, avgdl, k1, b)
+                outs.append(pd.DataFrame({
+                    "doc_id": ids, "term": pdf["term"].iat[i], "score": sc}))
+            if outs:
+                yield pd.concat(outs)
+
+    return cand.mapInPandas(
+        decode_score, schema="doc_id long, term string, score double")
+
+
+def search_dis_max(index: Index, text_or_terms, k: int = 10,
+                   tie_breaker: float = 0.0) -> DataFrame:
+    """dis_max query (SURVEY §2.4 q_dis_max): per-doc score =
+    max(clause scores) + tie_breaker · Σ(other clauses).
+    Reference: index/query/DisMaxQueryBuilder.java."""
+    terms = (analysis.analyze(text_or_terms)
+             if isinstance(text_or_terms, str) else list(text_or_terms))
+    scored = _per_term_scored(index, sorted(set(terms)))
+    agg = scored.groupBy("doc_id").agg(
+        F.max("score").alias("mx"), F.sum("score").alias("sm"))
+    score = F.col("mx") + tie_breaker * (F.col("sm") - F.col("mx"))
+    return (agg.select("doc_id", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def search_constant_score(index: Index, text_or_terms, boost: float = 1.0,
+                          mode: str = "or") -> DataFrame:
+    """constant_score query (SURVEY §2.5): matching-doc set, score = boost,
+    BM25 skipped entirely. Reference: ConstantScoreQueryBuilder.java."""
+    terms = (analysis.analyze(text_or_terms)
+             if isinstance(text_or_terms, str) else list(text_or_terms))
+    q = Query(0, terms, k=2**31 - 1, mode=mode)
+    hits = search_many(index, [q], method="distributed")
+    return (hits.select("doc_id", F.lit(float(boost)).alias("score"))
+            .orderBy("doc_id"))
+
+
+def search_function_score(index: Index, text_or_terms, k: int = 10,
+                          mode: str = "or") -> DataFrame:
+    """function_score with a field_value_factor-style modifier (SURVEY
+    §2.4 q_function_score): final = bm25 · ln(1 + len(content)/100).
+    Reference: index/query/functionscore/FunctionScoreQueryBuilder.java,
+    FieldValueFactorFunctionBuilder (modifier=ln1p)."""
+    terms = (analysis.analyze(text_or_terms)
+             if isinstance(text_or_terms, str) else list(text_or_terms))
+    q = Query(0, terms, k=2**31 - 1, mode=mode)
+    hits = search_many(index, [q], method="distributed")
+    boosted = (hits.join(index.docs.select("doc_id", "content"), "doc_id")
+               .withColumn("score",
+                           F.col("score")
+                           * F.log(F.lit(1.0) + F.length("content") / 100.0))
+               .drop("content"))
+    return (boosted.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
 
 def count_matches(index: Index, text_or_terms, mode: str = "or") -> int:

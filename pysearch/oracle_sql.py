@@ -94,6 +94,80 @@ SELECT doc_id, round(score_raw, {ROUND_DIGITS}) AS score FROM topk
 """
 
 
+def _scored_ctes(query_text: str, table: str = "documents") -> tuple[str, int]:
+    """Shared CTE chain ending in scored(doc_id, term, contrib) — one row
+    per matching (doc, clause) with its UNWEIGHTED BM25 contribution.
+    Returns (sql_fragment, n_unique_terms)."""
+    terms = sorted(set(analysis.analyze(query_text)))
+    in_list = ", ".join(_quote(t) for t in terms)
+    k1, b = analysis.K1, analysis.B
+    dlq = codec.duckdb_dlq_expr("dl.dl")
+    frag = f"""{corpus_ctes(table)},
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok2 WHERE term IN ({in_list}) GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {dlq} / s.avgdl)))
+           AS contrib
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+)"""
+    return frag, len(terms)
+
+
+def dis_max_sql(query_text: str, k: int, tie_breaker: float = 0.0,
+                table: str = "documents") -> str:
+    frag, _ = _scored_ctes(query_text, table)
+    return f"""
+WITH {frag},
+agg AS (
+  SELECT doc_id, max(contrib) AS mx, sum(contrib) AS sm
+  FROM scored GROUP BY doc_id
+),
+topk AS (
+  SELECT doc_id, mx + {tie_breaker} * (sm - mx) AS score_raw FROM agg
+  ORDER BY score_raw DESC, doc_id ASC LIMIT {k})
+SELECT doc_id, round(score_raw, {ROUND_DIGITS}) AS score FROM topk"""
+
+
+def constant_score_sql(query_text: str, boost: float = 1.0,
+                       mode: str = "or", table: str = "documents") -> str:
+    terms = sorted(set(analysis.analyze(query_text)))
+    in_list = ", ".join(_quote(t) for t in terms)
+    having = (f"HAVING count(DISTINCT term) = {len(terms)}"
+              if mode == "and" else "")
+    return f"""
+WITH {corpus_ctes(table)},
+m AS (
+  SELECT doc_id FROM tok2 WHERE term IN ({in_list})
+  GROUP BY doc_id {having})
+SELECT doc_id, {float(boost)} AS score FROM m ORDER BY doc_id"""
+
+
+def function_score_sql(query_text: str, k: int,
+                       table: str = "documents") -> str:
+    """BM25 · ln(1 + len(text)/100) (field_value_factor modifier)."""
+    frag, _ = _scored_ctes(query_text, table)
+    return f"""
+WITH {frag},
+agg AS (SELECT doc_id, sum(contrib) AS bm25 FROM scored GROUP BY doc_id),
+boosted AS (
+  SELECT a.doc_id, a.bm25 * ln(1 + len(d.text) / 100.0) AS score_raw
+  FROM agg a JOIN {table} d ON a.doc_id = d.doc_id),
+topk AS (
+  SELECT doc_id, score_raw FROM boosted
+  ORDER BY score_raw DESC, doc_id ASC LIMIT {k})
+SELECT doc_id, round(score_raw, {ROUND_DIGITS}) AS score FROM topk"""
+
+
 def count_sql(query_text: str, mode: str = "or", table: str = "documents") -> str:
     terms = analysis.analyze(query_text)
     if not terms:

@@ -14,17 +14,33 @@ from pyspark.sql import SparkSession
 def get_spark(cores: int | None = None, app: str = "pysearch",
               shuffle_partitions: int | None = None) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    shuffle_partitions = shuffle_partitions or max(cores, 8)
-    return (
+    # 2x cores so every core owns work even with stragglers; AQE partition
+    # COALESCING is disabled in this local harness: it merges the reduce
+    # side of the tf/encode shuffles down to a handful of partitions
+    # (advisory 64 MB), capping parallelism at ~8 tasks regardless of
+    # cores — measured 2x build slowdown at local[32]. On a real cluster
+    # with dynamic allocation you would re-enable it; skew-join handling
+    # stays on.
+    shuffle_partitions = shuffle_partitions or max(cores * 2, 16)
+    builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("PYSEARCH_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("PYSEARCH_DRIVER_MEM", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # single-machine harness: shuffle through tmpfs, skip compression
+    # (cluster deployments shuffle over network + disk and want both back)
+    if os.path.isdir("/dev/shm") and os.environ.get(
+            "PYSEARCH_SHM_SHUFFLE", "1") != "0":
+        builder = (builder
+                   .config("spark.local.dir", "/dev/shm/spark")
+                   .config("spark.shuffle.compress", "false")
+                   .config("spark.shuffle.spill.compress", "false"))
+    return builder.getOrCreate()
