@@ -82,7 +82,7 @@ def _registries():
 
     mods = []
     for m in ("relational", "dedup", "similarity", "textstats", "multimodal",
-              "phrase", "ingest"):
+              "phrase", "ingest", "analysis_ext"):
         try:
             mods.append(importlib.import_module(f"pysearch.{m}"))
         except ImportError:
@@ -115,6 +115,34 @@ def _function_score(text: str, k: int):
     return run
 
 
+_BOOL_DSL = {
+    "bool": {
+        "must": [{"match": {"query": "merge"}}],
+        "should": [{"term": {"value": "sort"}}, {"term": {"value": "window"}}],
+        "must_not": [{"term": {"value": "batch"}}],
+        "filter": [{"term": {"value": "value"}}],
+    }
+}
+_BOOL_MSM_DSL = {
+    "bool": {
+        "should": [{"term": {"value": "merge"}}, {"term": {"value": "sort"}},
+                   {"term": {"value": "window"}}],
+        "minimum_should_match": 2,
+    }
+}
+
+
+def _bool_full(dsl: dict, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pysearch import plan as pplan
+
+        idx = _index_for(spark, sf_dir)
+        hits = pexec.search_bool_full(idx, pplan.parse_dsl(dsl, k=k))
+        return hits.select(
+            "doc_id", F.round("score", osql.ROUND_DIGITS).alias("score"))
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, (text, k, mode) in _BM25_CASES.items():
@@ -124,6 +152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q_dis_max"] = _dis_max("value merge sort", 10, 0.3)
     out["q_constant_score"] = _constant_score("merge sort", 2.5)
     out["q_function_score"] = _function_score("value merge", 10)
+    out["q_bool_full"] = _bool_full(_BOOL_DSL, 10)
+    out["q_bool_msm"] = _bool_full(_BOOL_MSM_DSL, 10)
     for mod in _registries():
         for name, entry in mod.REGISTRY.items():
             out[name] = entry.fn
@@ -140,6 +170,10 @@ def oracle_sql() -> dict[str, str]:
     out["q_dis_max"] = osql.dis_max_sql("value merge sort", 10, 0.3)
     out["q_constant_score"] = osql.constant_score_sql("merge sort", 2.5)
     out["q_function_score"] = osql.function_score_sql("value merge", 10)
+    from pysearch import plan as pplan
+
+    out["q_bool_full"] = osql.bool_full_sql(pplan.parse_dsl(_BOOL_DSL, k=10))
+    out["q_bool_msm"] = osql.bool_full_sql(pplan.parse_dsl(_BOOL_MSM_DSL, k=10))
     for mod in _registries():
         for name, entry in mod.REGISTRY.items():
             if entry.sql is not None:

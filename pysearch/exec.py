@@ -259,8 +259,23 @@ def _candidates(index: Index, queries: list[Query]) -> DataFrame:
     return cand.join(F.broadcast(qdf), "term")
 
 
+LOCAL_MAX_POSTINGS = 200_000  # below this, gather to the DRIVER (one narrow job)
+
+
 def search_many(index: Index, queries: list[Query], method: str = "auto") -> DataFrame:
-    """Batch top-k search: one Spark job for N queries -> (query_id, doc_id, score)."""
+    """Batch top-k search: one Spark job for N queries -> (query_id, doc_id, score).
+
+    Physical strategies (ES query-then-fetch analogs, auto-selected by
+    Σ df over the query terms):
+      local        — candidate posting blocks are collect()ed straight to
+                     the driver (bucket-pruned narrow scan, NO shuffle,
+                     no Python workers) and scored in numpy there. This
+                     is exactly the ES coordinator gather for selective
+                     queries; latency = one Spark scan job.
+      gather       — blocks shuffle to one task per query; MAXSCORE kernel.
+      distributed  — decode+score per partition, shuffle (doc,query) grain,
+                     window top-k. For hot terms / huge candidate sets.
+    """
     queries = [q for q in queries if q.terms]
     spark = index.postings.sparkSession
     if not queries:
@@ -268,7 +283,12 @@ def search_many(index: Index, queries: list[Query], method: str = "auto") -> Dat
 
     if method == "auto":
         est = _estimate_postings(index, queries)
-        method = "gather" if est <= GATHER_MAX_POSTINGS else "distributed"
+        method = ("local" if est <= LOCAL_MAX_POSTINGS
+                  else "gather" if est <= GATHER_MAX_POSTINGS
+                  else "distributed")
+
+    if method == "local":
+        return _search_local(index, queries)
 
     if method == "gather":
         cand = _candidates(index, queries)
@@ -281,6 +301,27 @@ def search_many(index: Index, queries: list[Query], method: str = "auto") -> Dat
 
     # distributed: decode+score per partition, shuffle (doc_id,query_id) grain
     return _search_distributed(index, queries)
+
+
+def _search_local(index: Index, queries: list[Query]) -> DataFrame:
+    """Driver-side scoring: ONE narrow Spark job collects the candidate
+    posting blocks (term+bucket pruned), then the same MAXSCORE kernel
+    runs in-process. Returns a small local DataFrame of top-k rows."""
+    import pandas as pd
+
+    spark = index.postings.sparkSession
+    cand = _candidates(index, queries).collect()
+    if not cand:
+        return spark.createDataFrame([], HIT_SCHEMA)
+    pdf = pd.DataFrame([r.asDict() for r in cand])
+    outs = []
+    for qid, g in pdf.groupby("query_id", sort=True):
+        outs.append(_score_query_group(
+            g, index.stats.n_docs, index.stats.avgdl, index.k1, index.b))
+    hits = pd.concat(outs, ignore_index=True)
+    if not len(hits):
+        return spark.createDataFrame([], HIT_SCHEMA)
+    return spark.createDataFrame(hits, schema=HIT_SCHEMA)
 
 
 def _estimate_postings(index: Index, queries: list[Query]) -> int:
@@ -439,6 +480,47 @@ def search_function_score(index: Index, text_or_terms, k: int = 10,
                .drop("content"))
     return (boosted.select("doc_id", "score")
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def search_bool_full(index: Index, plan) -> DataFrame:
+    """Full `bool` query (SURVEY §2.4 q_bool_full; BoolQueryBuilder.java):
+    must (AND, scored) + filter (AND, unscored) + should (OR, score-add,
+    minimum_should_match) + must_not (NOT).
+
+    One pass over the per-term scored relation, then pure DataFrame logic:
+    clause weights are broadcast; requirements are enforced with
+    conditional distinct counts; must_not is a max-flag anti-filter."""
+    all_terms = sorted(set(plan.must) | set(plan.should)
+                       | set(plan.must_not) | set(plan.filter))
+    spark = index.postings.sparkSession
+    if not all_terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    scored = _per_term_scored(index, all_terms)
+
+    from collections import Counter
+    wm, ws = Counter(plan.must), Counter(plan.should)
+    req = sorted(set(plan.must) | set(plan.filter))
+    clauses = spark.createDataFrame(
+        [(t, float(wm.get(t, 0)), float(ws.get(t, 0)),
+          t in set(req), t in set(plan.must_not)) for t in all_terms],
+        "term string, w_must double, w_should double, "
+        "is_req boolean, is_not boolean")
+
+    j = scored.join(F.broadcast(clauses), "term")
+    agg = j.groupBy("doc_id").agg(
+        F.sum(F.col("score") * (F.col("w_must") + F.col("w_should")))
+        .alias("score"),
+        F.count_distinct(F.when(F.col("is_req"), F.col("term")))
+        .alias("n_req"),
+        F.count_distinct(F.when(F.col("w_should") > 0, F.col("term")))
+        .alias("n_should"),
+        F.max(F.when(F.col("is_not"), 1).otherwise(0)).alias("has_not"),
+    )
+    out = agg.where(
+        (F.col("n_req") == len(req)) & (F.col("has_not") == 0)
+        & (F.col("n_should") >= plan.msm))
+    return (out.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(plan.k))
 
 
 def count_matches(index: Index, text_or_terms, mode: str = "or") -> int:

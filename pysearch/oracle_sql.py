@@ -168,6 +168,44 @@ topk AS (
 SELECT doc_id, round(score_raw, {ROUND_DIGITS}) AS score FROM topk"""
 
 
+def bool_full_sql(plan, table: str = "documents") -> str:
+    """Oracle for the full bool query (must/filter/should/must_not/msm).
+    Shares exact BM25 semantics with bm25_topk_sql; clause weights are a
+    VALUES relation mirroring exec.search_bool_full."""
+    from collections import Counter
+
+    all_terms = sorted(set(plan.must) | set(plan.should)
+                       | set(plan.must_not) | set(plan.filter))
+    # _scored_ctes analyzes its input; feed the raw terms through a fake
+    # query text only if they are analyzer-stable — enforce that here.
+    for t in all_terms:
+        assert analysis.analyze(t) == [t], f"non-stable term {t!r}"
+    frag, _ = _scored_ctes(" ".join(all_terms), table)
+    wm, ws = Counter(plan.must), Counter(plan.should)
+    req = sorted(set(plan.must) | set(plan.filter))
+    vals = ", ".join(
+        f"({_quote(t)}, {float(wm.get(t, 0))}, {float(ws.get(t, 0))}, "
+        f"{str(t in set(req)).upper()}, {str(t in set(plan.must_not)).upper()})"
+        for t in all_terms)
+    return f"""
+WITH {frag},
+clauses(term, w_must, w_should, is_req, is_not) AS (VALUES {vals}),
+agg AS (
+  SELECT s.doc_id,
+         sum(s.contrib * (c.w_must + c.w_should)) AS score_raw,
+         count(DISTINCT CASE WHEN c.is_req THEN s.term END) AS n_req,
+         count(DISTINCT CASE WHEN c.w_should > 0 THEN s.term END) AS n_should,
+         max(CASE WHEN c.is_not THEN 1 ELSE 0 END) AS has_not
+  FROM scored s JOIN clauses c ON s.term = c.term
+  GROUP BY s.doc_id
+),
+topk AS (
+  SELECT doc_id, score_raw FROM agg
+  WHERE n_req = {len(req)} AND has_not = 0 AND n_should >= {plan.msm}
+  ORDER BY score_raw DESC, doc_id ASC LIMIT {plan.k})
+SELECT doc_id, round(score_raw, {ROUND_DIGITS}) AS score FROM topk"""
+
+
 def count_sql(query_text: str, mode: str = "or", table: str = "documents") -> str:
     terms = analysis.analyze(query_text)
     if not terms:

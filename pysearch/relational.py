@@ -340,6 +340,113 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(F.round(num / den, 4).alias("wavg"))
 
 
+@_reg("agg_missing", """
+SELECT count(*) AS n_missing FROM lineitem
+WHERE nullif(l_returnflag, 'N') IS NULL""")
+def agg_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MissingAggregator: bucket of rows whose field is null (the testdata
+    has no real nulls, so one is synthesized with nullif)."""
+    return (tbl(spark, sf_dir, "lineitem")
+            .where(F.nullif(F.col("l_returnflag"), F.lit("N")).isNull())
+            .agg(F.count("*").alias("n_missing")))
+
+
+@_reg("agg_global", """
+SELECT count(*) FILTER (WHERE event_type = 'click') AS clicks,
+       count(*) AS global_cnt
+FROM events""")
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GlobalAggregator: a bucket that ignores the query filter, computed
+    alongside the filtered bucket in one pass."""
+    return tbl(spark, sf_dir, "events").agg(
+        F.count_if(F.col("event_type") == "click").alias("clicks"),
+        F.count("*").alias("global_cnt"))
+
+
+@_reg("agg_sampler", """
+SELECT lang, count(*) AS cnt FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+GROUP BY lang ORDER BY lang""")
+def agg_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SamplerAggregator: aggregate over a deterministic hash-sample
+    (~1/8 of docs) — engine-portable unlike TABLESAMPLE."""
+    d = tbl(spark, sf_dir, "documents")
+    samp = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    return (d.where(samp).groupBy("lang").agg(F.count("*").alias("cnt"))
+            .orderBy("lang"))
+
+
+_SIG_CTE = f"""
+tok AS (
+  SELECT DISTINCT doc_id, unnest({analysis.duckdb_tokens_nostop_expr('text')}) AS term
+  FROM documents
+),
+fg AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge'),
+n AS (SELECT (SELECT count(*) FROM fg) AS n_fg,
+             (SELECT count(DISTINCT doc_id) FROM tok) AS n_bg),
+counts AS (
+  SELECT t.term,
+         count(DISTINCT CASE WHEN f.doc_id IS NOT NULL THEN t.doc_id END) AS fg_df,
+         count(DISTINCT t.doc_id) AS bg_df
+  FROM tok t LEFT JOIN fg f ON t.doc_id = f.doc_id
+  WHERE t.term != 'merge'
+  GROUP BY t.term
+)"""
+
+
+@_reg("agg_significant_terms", f"""
+WITH {_SIG_CTE}
+SELECT term, fg_df, bg_df,
+       round((fg_df * 1.0 / n_fg - bg_df * 1.0 / n_bg)
+             * (fg_df * 1.0 / n_fg) / (bg_df * 1.0 / n_bg), 6) AS jlh
+FROM counts, n
+WHERE fg_df > 0
+ORDER BY jlh DESC, term ASC LIMIT 5""")
+def agg_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SignificantTermsAggregator (JLH score): terms over-represented in
+    the foreground set (docs containing 'merge') vs the background —
+    jlh = (fgPct − bgPct) · fgPct/bgPct.
+    Reference: bucket/significant/SignificantTermsAggregatorFactory.java,
+    heuristics/JLHScore.java."""
+    d = tbl(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(analysis.tokens_expr(F.col("text"))).alias("term")
+    ).distinct()
+    fg = tok.where(F.col("term") == "merge").select("doc_id").distinct()
+    n_fg = fg.count()
+    n_bg = tok.select("doc_id").distinct().count()
+    counts = (tok.where(F.col("term") != "merge")
+              .join(fg.withColumn("is_fg", F.lit(1)), "doc_id", "left")
+              .groupBy("term")
+              .agg(F.count_distinct(F.when(F.col("is_fg") == 1,
+                                           F.col("doc_id"))).alias("fg_df"),
+                   F.count_distinct("doc_id").alias("bg_df")))
+    fg_pct = F.col("fg_df") / F.lit(float(n_fg))
+    bg_pct = F.col("bg_df") / F.lit(float(n_bg))
+    jlh = (fg_pct - bg_pct) * fg_pct / bg_pct
+    return (counts.where(F.col("fg_df") > 0)
+            .select("term", "fg_df", "bg_df", F.round(jlh, 6).alias("jlh"))
+            .orderBy(F.desc("jlh"), F.asc("term")).limit(5))
+
+
+@_reg("agg_rare_terms", f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({analysis.duckdb_tokens_nostop_expr('text')}) AS term
+  FROM documents
+)
+SELECT term, count(*) AS df FROM tok
+GROUP BY term HAVING count(*) <= 2 ORDER BY term""")
+def agg_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RareTermsAggregator: the long tail — terms with df ≤ 2 (ES uses a
+    bloom-filtered map-reduce for this; exact at our scale)."""
+    d = tbl(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(analysis.tokens_expr(F.col("text"))).alias("term")
+    ).distinct()
+    return (tok.groupBy("term").agg(F.count("*").alias("df"))
+            .where(F.col("df") <= 2).orderBy("term"))
+
+
 # ---------------------------------------------------------------------------
 # §2.6 pipeline aggregations  (ES: pipeline/*PipelineAggregator.java —
 # post-agg transforms ≙ window functions over the agg result)
