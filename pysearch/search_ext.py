@@ -1,0 +1,205 @@
+"""Search-surface extensions: highlighting and term suggestion.
+
+Reference anchors:
+  * highlight — fetch subphase building marked-up fragments around query
+    matches (search/fetch/subphase/highlight/HighlightPhase.java, unified
+    highlighter). Spark mapping: pure string expressions at fetch time.
+  * suggest — the term suggester ("did you mean"): edit-distance
+    candidates from the terms dictionary ranked by (distance, popularity)
+    (search/suggest/term/TermSuggester.java; [lucene dep]
+    DirectSpellChecker). Spark mapping: levenshtein over the (small)
+    vocabulary relation, exactly Lucene's terms-dict-automaton shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import analysis, codec
+from .registry import Entry, tbl
+
+REGISTRY: dict[str, Entry] = {}
+
+HL_TERM = "merge"
+HL_CTX = 20          # chars of context either side
+SUGGEST_INPUT = "mrge"   # misspelling of 'merge'
+SUGGEST_MAX_DIST = 2
+
+
+def _reg(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = Entry(fn=fn, sql=sql)
+        return fn
+    return deco
+
+
+@_reg("q_highlight", f"""
+WITH hit AS (
+  SELECT doc_id, text, instr(text, '{HL_TERM}') AS pos
+  FROM documents WHERE instr(text, '{HL_TERM}') > 0
+),
+frag AS (
+  SELECT doc_id,
+         substr(text, greatest(pos - {HL_CTX}, 1),
+                {2 * HL_CTX} + len('{HL_TERM}')) AS fragment
+  FROM hit
+)
+SELECT doc_id,
+       replace(fragment, '{HL_TERM}', '<em>{HL_TERM}</em>') AS highlighted
+FROM frag ORDER BY doc_id""")
+def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch-phase highlighting: a ±{HL_CTX}-char fragment around the
+    first occurrence, matches wrapped in <em> tags."""
+    d = tbl(spark, sf_dir, "documents")
+    pos = F.instr("text", HL_TERM)
+    frag = F.expr(
+        f"substr(text, greatest(instr(text, '{HL_TERM}') - {HL_CTX}, 1), "
+        f"{2 * HL_CTX} + length('{HL_TERM}'))")
+    return (d.where(pos > 0)
+            .select("doc_id",
+                    F.replace(frag, F.lit(HL_TERM),
+                              F.lit(f"<em>{HL_TERM}</em>")).alias("highlighted"))
+            .orderBy("doc_id"))
+
+
+MLT_DOC = 0
+MLT_TERMS = 5
+MLT_K = 10
+
+
+@_reg("q_more_like_this", f"""
+WITH tok AS (
+  SELECT doc_id, unnest({analysis.duckdb_tokens_nostop_expr('text')}) AS term
+  FROM documents
+),
+dl AS (
+  SELECT d.doc_id, count(t.term)::BIGINT AS dl
+  FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / count(*) AS avgdl
+  FROM documents
+),
+mlt AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS tf FROM tok WHERE doc_id = {MLT_DOC}
+    GROUP BY term ORDER BY tf DESC, term ASC LIMIT {MLT_TERMS})
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+  WHERE term IN (SELECT term FROM mlt) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf / (tf.tf + {analysis.K1} * (1 - {analysis.B}
+              + {analysis.B} * {codec.duckdb_dlq_expr("dl.dl")} / s.avgdl))) AS contrib
+  FROM tf JOIN dfreq USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, sum(contrib) AS score_raw FROM scored
+  WHERE doc_id != {MLT_DOC} GROUP BY doc_id
+),
+topk AS (SELECT doc_id, score_raw FROM agg
+         ORDER BY score_raw DESC, doc_id ASC LIMIT {MLT_K})
+SELECT doc_id, round(score_raw, 4) AS score FROM topk""")
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """more_like_this: the source doc's top-{MLT_TERMS} terms (by tf, tie
+    term asc) become an OR query; the source doc itself is excluded.
+    Reference: index/query/MoreLikeThisQueryBuilder.java ([lucene dep]
+    MoreLikeThis#retrieveInterestingTerms)."""
+    from collections import Counter
+
+    from . import exec as pexec
+
+    import __spark_entry__ as em  # reuse the per-sf built index cache
+
+    idx = em._index_for(spark, sf_dir)
+    src = idx.docs.where(F.col("doc_id") == MLT_DOC).select("content").collect()
+    toks = analysis.analyze(src[0][0]) if src else []
+    top = sorted(Counter(toks).items(), key=lambda kv: (-kv[1], kv[0]))
+    terms = [t for t, _ in top[:MLT_TERMS]]
+    q = pexec.Query(0, terms, k=MLT_K + 1, mode="or")
+    hits = pexec.search_many(idx, [q])
+    return (hits.where(F.col("doc_id") != MLT_DOC)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(MLT_K)
+            .select("doc_id", F.round("score", 4).alias("score")))
+
+
+RESCORE_Q1 = "value"    # first-pass query (cheap, recall-oriented)
+RESCORE_Q2 = "merge"    # rescore query (precision pass over the window)
+RESCORE_WINDOW = 50
+RESCORE_W = 0.5         # query_weight = rescore_query_weight = 0.5
+
+
+def _rescore_sql() -> str:
+    from . import oracle_sql as osql
+
+    frag, _ = osql._scored_ctes(f"{RESCORE_Q1} {RESCORE_Q2}")
+    return f"""
+WITH {frag},
+s1 AS (SELECT doc_id, sum(contrib) AS a FROM scored
+       WHERE term = '{RESCORE_Q1}' GROUP BY doc_id),
+s2 AS (SELECT doc_id, sum(contrib) AS b FROM scored
+       WHERE term = '{RESCORE_Q2}' GROUP BY doc_id),
+win AS (SELECT doc_id, a FROM s1
+        ORDER BY a DESC, doc_id ASC LIMIT {RESCORE_WINDOW}),
+re AS (
+  SELECT w.doc_id,
+         {RESCORE_W} * w.a + {RESCORE_W} * coalesce(s2.b, 0) AS score_raw
+  FROM win w LEFT JOIN s2 ON w.doc_id = s2.doc_id),
+topk AS (SELECT doc_id, score_raw FROM re
+         ORDER BY score_raw DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, round(score_raw, 4) AS score FROM topk"""
+
+
+def q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rescore: re-rank the top-{RESCORE_WINDOW} hits of a cheap first
+    query with a second scoring pass, combined 50/50 (QueryRescorer's
+    query_weight/rescore_query_weight). Reference:
+    search/rescore/QueryRescorer.java, RescorePhase.java."""
+    from . import exec as pexec
+
+    import __spark_entry__ as em
+
+    idx = em._index_for(spark, sf_dir)
+    win = pexec.search(idx, RESCORE_Q1, k=RESCORE_WINDOW).withColumnRenamed(
+        "score", "a")
+    s2 = (pexec._per_term_scored(idx, [RESCORE_Q2])
+          .groupBy("doc_id").agg(F.sum("score").alias("b")))
+    re = (win.join(s2, "doc_id", "left")
+          .select("doc_id",
+                  (RESCORE_W * F.col("a")
+                   + RESCORE_W * F.coalesce(F.col("b"), F.lit(0.0)))
+                  .alias("score")))
+    return (re.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+            .select("doc_id", F.round("score", 4).alias("score")))
+
+
+REGISTRY["q_rescore"] = Entry(fn=q_rescore, sql=_rescore_sql())
+
+
+@_reg("suggest_term", f"""
+WITH tok AS (
+  SELECT doc_id, unnest({analysis.duckdb_tokens_nostop_expr('text')}) AS term
+  FROM documents
+),
+vocab AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT term, df, levenshtein(term, '{SUGGEST_INPUT}') AS dist
+FROM vocab
+WHERE levenshtein(term, '{SUGGEST_INPUT}') <= {SUGGEST_MAX_DIST}
+ORDER BY dist ASC, df DESC, term ASC LIMIT 5""")
+def suggest_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term suggester: closest vocabulary terms to a misspelled input,
+    ranked by (edit distance, document frequency)."""
+    d = tbl(spark, sf_dir, "documents")
+    tok = d.select("doc_id",
+                   F.explode(analysis.tokens_expr(F.col("text"))).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    dist = F.levenshtein(F.col("term"), F.lit(SUGGEST_INPUT))
+    return (vocab.withColumn("dist", dist)
+            .where(F.col("dist") <= SUGGEST_MAX_DIST)
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term")).limit(5))
