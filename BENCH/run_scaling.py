@@ -93,7 +93,9 @@ def main() -> None:
         "pass": round(eff_best, 3) >= 0.8 or max(eff_rounds) >= 0.8,
     }
     bench_dir = os.path.join(REPO, "BENCH")
-    with open(os.path.join(bench_dir, "scaling.json"), "w") as f:
+    # auto outputs only — BENCH/BASELINE.md is the curated summary across
+    # campaigns and is maintained by hand
+    with open(os.path.join(bench_dir, "scaling_last.json"), "w") as f:
         json.dump({"summary": summary,
                    "runs": {str(k): v for k, v in runs.items()}}, f, indent=1)
     _write_md(bench_dir, summary, runs)
@@ -149,7 +151,7 @@ def _write_md(bench_dir: str, s: dict, runs: dict) -> None:
         f"the batch API `pysearch.exec.search_many` amortizes it — "
         f"N queries are planned as ONE Spark job).",
     ]
-    with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
+    with open(os.path.join(bench_dir, "BASELINE_AUTO.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
 
