@@ -79,6 +79,15 @@ def main() -> None:
               for l, h in zip(runs[lo], runs[hi])]
     eff_best = (best[hi] / best[lo]) / (hi / lo)
     eff_rounds = [round(r / (hi / lo), 3) for r in ratios]
+    eff_sorted = sorted(eff_rounds)
+    n = len(eff_sorted)
+    eff_median = round((eff_sorted[n // 2] if n % 2
+                        else (eff_sorted[n // 2 - 1] + eff_sorted[n // 2]) / 2), 3)
+    # PASS CRITERION (tightened per r01 advice): only PAIRED per-round
+    # efficiencies count — each ratio divides an adjacent (lo, hi) pair
+    # from the same alternating round, so both legs saw similar host
+    # conditions. The cross-round best-vs-best number is reported for
+    # information only and never drives the verdict.
     summary = {
         "n_docs": n_docs,
         "rounds": rounds,
@@ -87,10 +96,12 @@ def main() -> None:
         "docs_per_sec_all": {str(c): [r["docs_per_sec"] for r in runs[c]]
                              for c in (lo, hi)},
         "per_round_efficiency": eff_rounds,
-        "scaling_efficiency_best": round(eff_best, 3),
-        "scaling_efficiency_max_round": max(eff_rounds),
+        "per_round_efficiency_median": eff_median,
+        "per_round_efficiency_max": max(eff_rounds),
+        "scaling_efficiency_best_vs_best_nonpaired": round(eff_best, 3),
         "target": 0.8,
-        "pass": round(eff_best, 3) >= 0.8 or max(eff_rounds) >= 0.8,
+        "pass": eff_median >= 0.8,
+        "pass_best_paired_round": max(eff_rounds) >= 0.8,
     }
     bench_dir = os.path.join(REPO, "BENCH")
     # auto outputs only — BENCH/BASELINE.md is the curated summary across
@@ -122,10 +133,14 @@ def _write_md(bench_dir: str, s: dict, runs: dict) -> None:
                      f"{s['docs_per_sec_best'][str(c)]} |")
     lines += [
         "",
-        f"**Scaling efficiency {lo}→{hi} cores (north_rule ≥ 0.8): "
-        f"best-vs-best {s['scaling_efficiency_best']}, per-round "
-        f"{s['per_round_efficiency']} — "
-        f"{'PASS' if s['pass'] else 'FAIL'}**",
+        f"**Scaling efficiency {lo}→{hi} cores (north_rule ≥ 0.8), PAIRED "
+        f"per-round: {s['per_round_efficiency']} (median "
+        f"{s['per_round_efficiency_median']}, max "
+        f"{s['per_round_efficiency_max']}) — "
+        f"{'PASS' if s['pass'] else 'FAIL'} on the median criterion** "
+        f"(non-paired best-vs-best "
+        f"{s['scaling_efficiency_best_vs_best_nonpaired']}, informational "
+        f"only)",
         "",
         "Methodology: this sandbox is a single 32-core VM on a shared host —",
         "no real N→4N-executor cluster is available, so (per driver",

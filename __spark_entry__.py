@@ -143,7 +143,97 @@ def _bool_full(dsl: dict, k: int):
     return run
 
 
+# --- recursive-tree / front-end cases (round 2) ----------------------------
+
+_NESTED_DSL = {
+    "bool": {
+        "must": [
+            {"bool": {"should": [{"term": {"value": "merge"}},
+                                 {"term": {"value": "sort"}}],
+                      "minimum_should_match": 1}},
+            {"match": {"query": "value"}},
+        ],
+        "must_not": [{"term": {"value": "batch"}}],
+    }
+}
+_QS_TEXT = "+merge sort -batch lang:en"
+_QS_PHRASE_TEXT = '"merge sort" +value'
+_MM_TEXT, _MM_K, _MM_TB = "merge sort", 10, 0.3
+_MM_BOOSTS = {"title": 2.0}
+#: the synthesized second field for multi_match: first 80 chars of text
+#: (same expression in Spark substring() and DuckDB substr())
+_MM_FIELDS_SQL = {"content": "text", "title": "substr(text, 1, 80)"}
+
+
+def _tree_query(make_node, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = _index_for(spark, sf_dir)
+        hits = pexec.search_tree(idx, make_node(), k=k)
+        return hits.select(
+            "doc_id", F.round("score", osql.ROUND_DIGITS).alias("score"))
+    return run
+
+
+def _field_indexes_for(spark: SparkSession, sf_dir: str):
+    key = sf_dir.rstrip("/") + "#title"
+    if key not in _INDEX_CACHE:
+        corpus = pbuild.corpus_from_documents(spark, sf_dir)
+        tcorp = corpus.withColumn("content", F.substring("content", 1, 80))
+        _INDEX_CACHE[key] = pbuild.build_index(
+            spark, tcorp, n_buckets=16, salt_threshold=64, n_salts=4)
+    return {"content": _index_for(spark, sf_dir), "title": _INDEX_CACHE[key]}
+
+
+def _multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fidx = _field_indexes_for(spark, sf_dir)
+    hits = pexec.search_multi_match(
+        fidx, _MM_TEXT, k=_MM_K, match_type="best_fields",
+        tie_breaker=_MM_TB, boosts=_MM_BOOSTS)
+    return hits.select(
+        "doc_id", F.round("score", osql.ROUND_DIGITS).alias("score"))
+
+
+# Driver CORRECTNESS policy: the driver verifies queries() entries in
+# REGISTRATION ORDER with a hard cap (50 rows in r01). Ordering is
+# therefore coverage policy: keys with no green CORRECTNESS row yet are
+# emitted FIRST (the r01-unchecked 37 + the r01 fail + round-2 additions);
+# keys already proven green in CORRECTNESS_r01 trail behind as sentinels.
+_CHECK_FIRST = [
+    # r01-unchecked training-pipeline ops
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_embedding_cosine",
+    "sim_cosine_topk", "sim_knn_batch", "sim_ann_lsh",
+    "text_quality", "text_langid", "text_tokencount", "text_fingerprint",
+    "text_winnow", "mm_meta", "mm_decode_features",
+    # r01-unchecked search/analysis surface
+    "q_phrase", "q_phrase_slop2", "ingest_pipeline",
+    "analyze_api", "analyze_stem_light", "analyze_edge_ngram",
+    "analyze_synonym",
+    "q_highlight", "q_more_like_this", "q_rescore", "suggest_term",
+    # r01-unchecked relational tail
+    "pipe_bucket_selector", "pipe_bucket_sort",
+    "sort_field", "search_after", "collapse",
+    "setop_intersect", "setop_except",
+    "fn_scalar", "fn_json_extract", "fn_higher_order", "join_star_revenue",
+    # r01 FAIL, fixed (oracle BIGINT cast)
+    "pipe_cumsum",
+    # round-2 additions
+    "q_multi_match", "q_query_string", "q_bool_nested", "f_nested",
+    "pipe_bucket_script", "pipe_serial_diff", "pipe_avg_bucket",
+    "scan_getbyid", "scroll_keyset", "agg_adjacency_matrix",
+    "agg_median_abs_dev", "agg_scripted_metric",
+]
+
+
+def _ordered(d: dict) -> dict:
+    out = {k: d[k] for k in _CHECK_FIRST if k in d}
+    out.update(d)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from pysearch import plan as pplan
+
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, (text, k, mode) in _BM25_CASES.items():
         out[name] = _topk(text, k, mode)
@@ -154,13 +244,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q_function_score"] = _function_score("value merge", 10)
     out["q_bool_full"] = _bool_full(_BOOL_DSL, 10)
     out["q_bool_msm"] = _bool_full(_BOOL_MSM_DSL, 10)
+    out["q_bool_nested"] = _tree_query(
+        lambda: pplan.parse_tree(_NESTED_DSL), 10)
+    out["q_query_string"] = _tree_query(
+        lambda: pplan.parse_query_string(_QS_TEXT), 10)
+    out["q_qs_phrase"] = _tree_query(
+        lambda: pplan.parse_query_string(_QS_PHRASE_TEXT), 10)
+    out["q_multi_match"] = _multi_match
     for mod in _registries():
         for name, entry in mod.REGISTRY.items():
             out[name] = entry.fn
-    return out
+    return _ordered(out)
 
 
 def oracle_sql() -> dict[str, str]:
+    from pysearch import plan as pplan
+
     out = {
         name: osql.bm25_topk_sql(text, k, mode)
         for name, (text, k, mode) in _BM25_CASES.items()
@@ -170,12 +269,17 @@ def oracle_sql() -> dict[str, str]:
     out["q_dis_max"] = osql.dis_max_sql("value merge sort", 10, 0.3)
     out["q_constant_score"] = osql.constant_score_sql("merge sort", 2.5)
     out["q_function_score"] = osql.function_score_sql("value merge", 10)
-    from pysearch import plan as pplan
-
     out["q_bool_full"] = osql.bool_full_sql(pplan.parse_dsl(_BOOL_DSL, k=10))
     out["q_bool_msm"] = osql.bool_full_sql(pplan.parse_dsl(_BOOL_MSM_DSL, k=10))
+    out["q_bool_nested"] = osql.tree_sql(pplan.parse_tree(_NESTED_DSL), 10)
+    out["q_query_string"] = osql.tree_sql(
+        pplan.parse_query_string(_QS_TEXT), 10)
+    out["q_qs_phrase"] = osql.tree_sql(
+        pplan.parse_query_string(_QS_PHRASE_TEXT), 10)
+    out["q_multi_match"] = osql.multi_match_sql(
+        _MM_TEXT, _MM_FIELDS_SQL, _MM_K, "best_fields", _MM_TB, _MM_BOOSTS)
     for mod in _registries():
         for name, entry in mod.REGISTRY.items():
             if entry.sql is not None:
                 out[name] = entry.sql
-    return out
+    return _ordered(out)

@@ -103,6 +103,215 @@ def analyze_edge_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("df"), F.asc("gram")).limit(15))
 
 
+# ---------------------------------------------------------------------------
+# Porter stemmer — the classic algorithm from Porter (1980), as shipped by
+# the reference's `stemmer` token filter (analysis-common
+# PorterStemTokenFilterFactory / [lucene dep] PorterStemFilter). Pure
+# Python; vectorized application happens Arrow-batched via pandas UDF.
+# Unit-tested in tests/ against the published in-paper examples.
+# ---------------------------------------------------------------------------
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in "aeiou":
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(w: str) -> int:
+    """m in [C](VC)^m[V]: number of vowel->consonant transitions."""
+    m, prev_v = 0, False
+    for i in range(len(w)):
+        v = not _is_cons(w, i)
+        if prev_v and not v:
+            m += 1
+        prev_v = v
+    return m
+
+
+def _has_vowel(w: str) -> bool:
+    return any(not _is_cons(w, i) for i in range(len(w)))
+
+
+def _ends_double_cons(w: str) -> bool:
+    return (len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1))
+
+
+def _ends_cvc(w: str) -> bool:
+    if len(w) < 3:
+        return False
+    return (_is_cons(w, len(w) - 3) and not _is_cons(w, len(w) - 2)
+            and _is_cons(w, len(w) - 1) and w[-1] not in "wxy")
+
+
+_STEP2 = [("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+          ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+          ("alli", "al"), ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
+          ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
+          ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+          ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
+          ("biliti", "ble")]
+_STEP3 = [("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+          ("ical", "ic"), ("ful", ""), ("ness", "")]
+_STEP4 = ["al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+          "ement", "ment", "ent", "ou", "ism", "ate", "iti", "ous",
+          "ive", "ize"]
+
+
+def porter_stem(w: str) -> str:
+    """Porter (1980) — steps 1a..5b exactly as published."""
+    if len(w) <= 2:
+        return w
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        hit = None
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            hit = w = w[:-2]
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            hit = w = w[:-3]
+        if hit is not None:
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _ends_double_cons(w) and w[-1] not in "lsz":
+                w = w[:-1]
+            elif _measure(w) == 1 and _ends_cvc(w):
+                w += "e"
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 3
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 4
+    for suf in _STEP4:
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 1:
+                w = w[: -len(suf)]
+            break
+    else:
+        if w.endswith("ion") and len(w) > 3 and w[-4] in "st" \
+                and _measure(w[:-3]) > 1:
+            w = w[:-3]
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _ends_cvc(stem)):
+            w = stem
+    # step 5b
+    if _measure(w) > 1 and w.endswith("ll"):
+        w = w[:-1]
+    return w
+
+
+#: fixed sample vocabulary for the analyze_porter driver key (the oracle
+#: embeds the expected stems as a golden VALUES literal — DuckDB has no
+#: offline stemmer; the algorithm itself is unit-tested against the
+#: published Porter-paper examples, and the driver row then checks that
+#: the DISTRIBUTED pandas-UDF application matches the reference impl).
+PORTER_SAMPLE = (
+    "caresses ponies ties cats feed agreed plastered motoring sing "
+    "hopping falling filing happy sky relational conditional "
+    "generalization oscillators predication replacement adjustable "
+    "dependent optimization running flies deduplication").split()
+
+
+def _porter_values() -> str:
+    return ", ".join(
+        f"('{w}', '{porter_stem(w)}')" for w in sorted(PORTER_SAMPLE))
+
+
+@_reg("analyze_porter", f"""
+SELECT word, stem FROM (VALUES {_porter_values()}) AS t(word, stem)
+ORDER BY word""")
+def analyze_porter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Porter stemmer as a vectorized pandas UDF over a sample
+    vocabulary (stemmer token filter, 'porter'/'english' flavor)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def stem_udf(s):
+        return s.map(porter_stem)
+
+    words = spark.createDataFrame([(w,) for w in sorted(PORTER_SAMPLE)],
+                                  "word string")
+    return (words.select("word", stem_udf("word").alias("stem"))
+            .orderBy("word"))
+
+
+@_reg("analyze_ngram", f"""
+WITH tok AS (
+  SELECT DISTINCT unnest({analysis.duckdb_tokens_nostop_expr('text')}) AS term
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT term, substr(term, CAST(i AS INT), 3) AS gram
+  FROM tok, unnest(range(1, len(term) - 1)) AS u(i)
+  WHERE len(term) >= 3
+)
+SELECT gram, count(*) AS n_terms FROM grams
+GROUP BY gram ORDER BY n_terms DESC, gram ASC LIMIT 15""")
+def analyze_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full (non-edge) n-gram filter: all interior trigrams per vocab
+    term — the index behind infix wildcard/fuzzy acceleration. Top-15
+    trigrams by vocabulary frequency."""
+    d = tbl(spark, sf_dir, "documents")
+    vocab = (d.select(F.explode(analysis.tokens_expr(F.col("text"))).alias("term"))
+             .distinct().where(F.length("term") >= 3))
+    grams = (vocab
+             .select("term", F.explode(
+                 F.sequence(F.lit(1), F.length("term") - 2)).alias("i"))
+             .select("term", F.substring(F.col("term"), F.col("i"), 3)
+                     .alias("gram"))
+             .distinct())
+    return (grams.groupBy("gram").agg(F.count("*").alias("n_terms"))
+            .orderBy(F.desc("n_terms"), F.asc("gram")).limit(15))
+
+
+# asciifolding: 1:1 accented -> ASCII char map applied with translate()
+# in BOTH engines (identical by construction; the reference folds a much
+# larger table — Lucene ASCIIFoldingFilter — this is the common subset).
+_FOLD_SRC = "áàâäãåéèêëíìîïóòôöõúùûüýÿñçšžćč"
+_FOLD_DST = "aaaaaaeeeeiiiioooooouuuuyyncszcc"
+_FOLD_SAMPLE = "café naïve señor crème brûlée über façade škoda"
+
+
+@_reg("analyze_asciifolding", f"""
+WITH t(txt) AS (VALUES ('{_FOLD_SAMPLE}')),
+folded AS (SELECT translate(txt, '{_FOLD_SRC}', '{_FOLD_DST}') AS f FROM t)
+SELECT unnest(regexp_extract_all(f, '[a-z0-9]+')) AS term FROM folded""")
+def analyze_asciifolding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asciifolding token filter: strip diacritics before tokenizing so
+    'café' matches 'cafe' ([lucene dep] ASCIIFoldingFilter)."""
+    one = spark.createDataFrame([(_FOLD_SAMPLE,)], "txt string")
+    folded = F.translate(F.col("txt"), _FOLD_SRC, _FOLD_DST)
+    return one.select(F.explode(
+        F.regexp_extract_all(folded, F.lit("[a-z0-9]+"), F.lit(0))).alias("term"))
+
+
 _SYN_CASE = "CASE term " + " ".join(
     f"WHEN '{k}' THEN '{v}'" for k, v in sorted(SYNONYMS.items())) + " ELSE term END"
 

@@ -3,13 +3,16 @@
 from the command line:
 
     zip -r pysearch.zip pysearch
-    spark-submit --py-files pysearch.zip -m pysearch.cli build \\
+    spark-submit --py-files pysearch.zip cli_entry.py build \\
         --corpus /data/corpus.parquet --out /data/index/seg-000
-    spark-submit --py-files pysearch.zip -m pysearch.cli query \\
+    spark-submit --py-files pysearch.zip cli_entry.py query \\
         --index /data/index/seg-000 --text "parseHttpRequest" --k 10
-    spark-submit --py-files pysearch.zip -m pysearch.cli merge \\
+    spark-submit --py-files pysearch.zip cli_entry.py merge \\
         --segments /data/index/seg-000 /data/index/seg-001 \\
         --out /data/index/seg-merged
+
+(spark-submit takes an application FILE, not a -m module — cli_entry.py at
+the repo root is that file; it just calls pysearch.cli.main().)
 
 On a cluster the session comes from spark-submit's conf (master, executor
 counts); get_spark() only fills local-mode defaults when none exists.

@@ -249,6 +249,36 @@ def encode_blocks(
     return rows
 
 
+def decode_blocks_concat(firsts, gaps_list, counts, tfs_list=None, norms_list=None):
+    """Vectorized decode of MANY block rows at once: one varint pass over
+    the concatenated gap (and tf) buffers instead of a Python loop per
+    block row (the r01 hot path: 10^6 block rows for a hot term = 10^6
+    Python iterations). `counts` = n_in_block per row.
+
+    Returns (doc_ids, tfs, norms) concatenated in row order; tfs/norms are
+    None when their buffers are not passed. Per-row cumsum reset uses the
+    standard global-cumsum-minus-row-base trick — no loops."""
+    counts = np.asarray(counts, dtype=np.int64)
+    n_total = int(counts.sum())
+    if n_total == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, (z.copy() if tfs_list is not None else None), \
+            (z.copy() if norms_list is not None else None)
+    gaps = decode_varint(b"".join(bytes(g) for g in gaps_list), n_total).astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    gaps[offs] = np.asarray(firsts, dtype=np.int64)
+    cs = np.cumsum(gaps)
+    base = cs[offs] - gaps[offs]
+    doc_ids = cs - np.repeat(base, counts)
+    tfs = None
+    if tfs_list is not None:
+        tfs = decode_varint(b"".join(bytes(t) for t in tfs_list), n_total).astype(np.int64)
+    norms = None
+    if norms_list is not None:
+        norms = np.frombuffer(b"".join(bytes(nb) for nb in norms_list), dtype=np.uint8)
+    return doc_ids, tfs, norms
+
+
 def decode_block(first_doc_id: int, gaps: bytes, tfs_enc: bytes, norms_enc: bytes = b""):
     doc_ids = decode_gaps(first_doc_id, gaps)
     tfs = decode_varint(tfs_enc).astype(np.int64)

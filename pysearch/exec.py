@@ -68,19 +68,6 @@ class Query:
 # ---------------------------------------------------------------------------
 
 
-def _decode_rows(first, gaps, tfs, norms):
-    """Decode a sequence of block rows -> (doc_ids, tfs, dlq) int64 arrays."""
-    ids, fs, ns = [], [], []
-    for f0, g, t, nb in zip(first, gaps, tfs, norms):
-        d, tf, n = codec.decode_block(f0, bytes(g), bytes(t), bytes(nb))
-        ids.append(d); fs.append(tf); ns.append(n)
-    if not ids:
-        z = np.zeros(0, dtype=np.int64)
-        return z, z.copy(), z.copy()
-    return (np.concatenate(ids), np.concatenate(fs),
-            codec.byte4_to_int(np.concatenate(ns)))
-
-
 def _topk(doc_ids: np.ndarray, scores: np.ndarray, k: int):
     """Top-k by (score desc, doc_id asc); returns (doc_ids, scores)."""
     if len(doc_ids) == 0:
@@ -116,6 +103,7 @@ def _score_query_group(pdf, n_docs: int, avgdl: float, k1: float, b: float):
             "weight": float(g["weight"].iloc[0]),
             "idf": idf,
             "first": g["first_doc_id"].to_numpy(),
+            "counts": g["n_in_block"].to_numpy(),
             "gaps": g["docid_gaps"].tolist(),
             "tfs": g["tfs_enc"].tolist(),
             "norms": g["norms_enc"].tolist(),
@@ -123,10 +111,18 @@ def _score_query_group(pdf, n_docs: int, avgdl: float, k1: float, b: float):
         })
 
     def decode_scores(lst, block_mask=None):
-        idx = np.nonzero(block_mask)[0] if block_mask is not None else range(len(lst["first"]))
-        ids, tfs, dlq = _decode_rows(
-            [lst["first"][i] for i in idx], [lst["gaps"][i] for i in idx],
-            [lst["tfs"][i] for i in idx], [lst["norms"][i] for i in idx])
+        if block_mask is not None:
+            idx = np.nonzero(block_mask)[0]
+            firsts, counts = lst["first"][idx], lst["counts"][idx]
+            gaps = [lst["gaps"][i] for i in idx]
+            tfs_l = [lst["tfs"][i] for i in idx]
+            norms_l = [lst["norms"][i] for i in idx]
+        else:
+            firsts, counts = lst["first"], lst["counts"]
+            gaps, tfs_l, norms_l = lst["gaps"], lst["tfs"], lst["norms"]
+        ids, tfs, nrm = codec.decode_blocks_concat(
+            firsts, gaps, counts, tfs_l, norms_l)
+        dlq = codec.byte4_to_int(nrm)
         sc = lst["idf"] * codec.bm25_tf_weight(tfs, dlq, avgdl, k1, b) * lst["weight"]
         return ids, sc
 
@@ -227,8 +223,14 @@ def term_meta(index: Index, terms: list[str]) -> dict[str, tuple[int, int]]:
     (df for selectivity estimation + WAND, bucket = pmod(xxhash64, P) for
     partition pruning — xxhash64 lives JVM-side only). Repeat queries hit
     the cache and schedule zero extra jobs. ES analog: the terms
-    dictionary lookup that precedes posting iteration."""
-    cache = index.meta.setdefault("_term_cache", {})
+    dictionary lookup that precedes posting iteration.
+
+    The cache lives as a plain instance attribute, NOT inside Index.meta:
+    meta is serialized into manifest.json by write_index and shallow-copied
+    by merge_indexes, so a meta-resident cache would leak stale negative
+    entries ((0,-1) for absent terms) across merges/loads and silently
+    drop those terms' buckets from the candidate IN-list."""
+    cache = index.__dict__.setdefault("_term_cache", {})
     missing = [t for t in terms if t not in cache]
     if missing:
         rows = (
@@ -342,20 +344,22 @@ def _search_distributed(index: Index, queries: list[Query]) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            outs = []
-            idf = codec.bm25_idf(pdf["df"].to_numpy(), n_docs)
-            for i in range(len(pdf)):
-                ids, tfs, dlq = _decode_rows(
-                    [pdf["first_doc_id"].iat[i]], [pdf["docid_gaps"].iat[i]],
-                    [pdf["tfs_enc"].iat[i]], [pdf["norms_enc"].iat[i]])
-                sc = idf[i] * codec.bm25_tf_weight(tfs, dlq, avgdl, k1, b) \
-                    * pdf["weight"].iat[i]
-                outs.append(pd.DataFrame({
-                    "query_id": pdf["query_id"].iat[i], "doc_id": ids,
-                    "score": sc, "term": pdf["term"].iat[i],
-                    "k": pdf["k"].iat[i], "mode": pdf["mode"].iat[i]}))
-            if outs:
-                yield pd.concat(outs)
+            # one vectorized pass over ALL block rows in the Arrow batch
+            # (no per-row Python — the r01 hot-path fix)
+            counts = pdf["n_in_block"].to_numpy()
+            ids, tfs, nrm = codec.decode_blocks_concat(
+                pdf["first_doc_id"].to_numpy(), pdf["docid_gaps"],
+                counts, pdf["tfs_enc"], pdf["norms_enc"])
+            dlq = codec.byte4_to_int(nrm)
+            idf = np.repeat(codec.bm25_idf(pdf["df"].to_numpy(), n_docs), counts)
+            w = np.repeat(pdf["weight"].to_numpy(), counts)
+            sc = idf * codec.bm25_tf_weight(tfs, dlq, avgdl, k1, b) * w
+            yield pd.DataFrame({
+                "query_id": np.repeat(pdf["query_id"].to_numpy(), counts),
+                "doc_id": ids, "score": sc,
+                "term": np.repeat(pdf["term"].to_numpy(), counts),
+                "k": np.repeat(pdf["k"].to_numpy(), counts),
+                "mode": np.repeat(pdf["mode"].to_numpy(), counts)})
 
     scored = cand.mapInPandas(
         decode_score,
@@ -420,17 +424,17 @@ def _per_term_scored(index: Index, terms: list[str]) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            outs = []
-            idf = codec.bm25_idf(pdf["df"].to_numpy(), n_docs)
-            for i in range(len(pdf)):
-                ids, tfs, dlq = _decode_rows(
-                    [pdf["first_doc_id"].iat[i]], [pdf["docid_gaps"].iat[i]],
-                    [pdf["tfs_enc"].iat[i]], [pdf["norms_enc"].iat[i]])
-                sc = idf[i] * codec.bm25_tf_weight(tfs, dlq, avgdl, k1, b)
-                outs.append(pd.DataFrame({
-                    "doc_id": ids, "term": pdf["term"].iat[i], "score": sc}))
-            if outs:
-                yield pd.concat(outs)
+            counts = pdf["n_in_block"].to_numpy()
+            ids, tfs, nrm = codec.decode_blocks_concat(
+                pdf["first_doc_id"].to_numpy(), pdf["docid_gaps"],
+                counts, pdf["tfs_enc"], pdf["norms_enc"])
+            dlq = codec.byte4_to_int(nrm)
+            idf = np.repeat(codec.bm25_idf(pdf["df"].to_numpy(), n_docs), counts)
+            sc = idf * codec.bm25_tf_weight(tfs, dlq, avgdl, k1, b)
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "term": np.repeat(pdf["term"].to_numpy(), counts),
+                "score": sc})
 
     return cand.mapInPandas(
         decode_score, schema="doc_id long, term string, score double")
@@ -459,8 +463,11 @@ def search_constant_score(index: Index, text_or_terms, boost: float = 1.0,
              if isinstance(text_or_terms, str) else list(text_or_terms))
     q = Query(0, terms, k=2**31 - 1, mode=mode)
     hits = search_many(index, [q], method="distributed")
+    # NO global orderBy: the full match set can be huge and the driver's
+    # value hash is order-insensitive (r01 perf finding #5). Consumers
+    # that need order sort the (small) slice they take.
     return (hits.select("doc_id", F.lit(float(boost)).alias("score"))
-            .orderBy("doc_id"))
+            .sortWithinPartitions("doc_id"))
 
 
 def search_function_score(index: Index, text_or_terms, k: int = 10,
@@ -523,11 +530,179 @@ def search_bool_full(index: Index, plan) -> DataFrame:
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(plan.k))
 
 
+# ---------------------------------------------------------------------------
+# Recursive bool-tree execution (plan.parse_tree / parse_query_string)
+# ---------------------------------------------------------------------------
+
+
+def _positions_rel(index: Index) -> DataFrame:
+    """(doc_id, pos, term) positional relation derived from the forward
+    index. At scale this is precomputed once per segment next to the
+    postings table (see phrase.py's scale note); here it is derived
+    because the flagship postings schema stores (tf, norm) impacts only."""
+    return index.docs.select(
+        "doc_id",
+        F.posexplode(analysis.tokens_expr(F.col("content"))).alias("pos", "term"))
+
+
+def _phrase_docs(index: Index, terms: list[str], slop: int) -> DataFrame:
+    """doc_ids containing the phrase: chained positional self-joins —
+    term i+1 within (pos_i+1 .. pos_i+1+slop), order preserved."""
+    p = _positions_rel(index)
+    cur = (p.where(F.col("term") == terms[0])
+           .select("doc_id", F.col("pos").alias("p0")))
+    for t in terms[1:]:
+        nxt = p.where(F.col("term") == t).select(
+            F.col("doc_id").alias("d2"), F.col("pos").alias("p1"))
+        cur = (cur.join(nxt,
+                        (F.col("doc_id") == F.col("d2"))
+                        & (F.col("p1") >= F.col("p0") + 1)
+                        & (F.col("p1") <= F.col("p0") + 1 + slop))
+               .select("doc_id", F.col("p1").alias("p0")))
+    return cur.select("doc_id").distinct()
+
+
+def search_tree(index: Index, node, k: int = 10) -> DataFrame:
+    """Execute a recursive query tree (plan.BoolNode/MatchNode/PhraseNode/
+    AttrNode) -> top-k DataFrame(doc_id, score).
+
+    The reference builds an arbitrary QueryBuilder tree
+    (index/query/BoolQueryBuilder.java); here every node evaluates to a
+    (doc_id, score) relation with ≤1 row per doc, and a bool node is one
+    union + groupBy over its tagged children — pure Catalyst plans, no
+    per-row Python. All leaf BM25 contributions come from ONE
+    _per_term_scored pass over the union of the tree's terms."""
+    from . import plan as pplan
+
+    spark = index.postings.sparkSession
+    all_terms = sorted(pplan.tree_terms(node))
+    scored = (_per_term_scored(index, all_terms) if all_terms
+              else spark.createDataFrame([], "doc_id long, term string, score double"))
+
+    def eval_node(n) -> DataFrame:
+        if isinstance(n, pplan.MatchNode):
+            return (scored.where(F.col("term").isin(n.terms))
+                    .groupBy("doc_id").agg(F.sum("score").alias("score")))
+        if isinstance(n, pplan.PhraseNode):
+            docs = _phrase_docs(index, n.terms, n.slop)
+            sc = (scored.where(F.col("term").isin(n.terms))
+                  .groupBy("doc_id").agg(F.sum("score").alias("score")))
+            return docs.join(sc, "doc_id")
+        if isinstance(n, pplan.AttrNode):
+            return (index.docs.where(F.col(n.field) == n.value)
+                    .select("doc_id", F.lit(0.0).alias("score")))
+        assert isinstance(n, pplan.BoolNode)
+        tagged = []
+        for kind in ("must", "should", "must_not", "filter"):
+            for cid, sub in enumerate(getattr(n, kind)):
+                tagged.append(
+                    eval_node(sub).select(
+                        "doc_id", "score",
+                        F.lit(kind).alias("kind"),
+                        F.lit(f"{kind}:{cid}").alias("cid")))
+        if not any((n.must, n.should, n.filter)):
+            # no positive clause: candidate universe is all docs (ES: an
+            # empty/must_not-only bool matches everything [minus must_not])
+            tagged.append(index.docs.select(
+                "doc_id", F.lit(0.0).alias("score"),
+                F.lit("seed").alias("kind"), F.lit("seed:0").alias("cid")))
+        u = tagged[0]
+        for t_ in tagged[1:]:
+            u = u.unionByName(t_)
+        eff_msm = n.msm if n.should else 0
+        agg = u.groupBy("doc_id").agg(
+            F.sum(F.when(F.col("kind").isin("must", "should"),
+                         F.col("score")).otherwise(0.0)).alias("score"),
+            F.count_distinct(F.when(F.col("kind") == "must", F.col("cid")))
+            .alias("n_must"),
+            F.count_distinct(F.when(F.col("kind") == "filter", F.col("cid")))
+            .alias("n_filter"),
+            F.count_distinct(F.when(F.col("kind") == "should", F.col("cid")))
+            .alias("n_should"),
+            F.max(F.when(F.col("kind") == "must_not", 1).otherwise(0))
+            .alias("has_not"))
+        return (agg.where((F.col("n_must") == len(n.must))
+                          & (F.col("n_filter") == len(n.filter))
+                          & (F.col("n_should") >= eff_msm)
+                          & (F.col("has_not") == 0))
+                .select("doc_id", "score"))
+
+    out = eval_node(node)
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def search_query_string(index: Index, qs: str, k: int = 10) -> DataFrame:
+    """query_string front-end: mini-language -> tree -> search_tree.
+    Reference: index/query/QueryStringQueryBuilder.java."""
+    from . import plan as pplan
+
+    return search_tree(index, pplan.parse_query_string(qs), k=k)
+
+
+def search_multi_match(field_indexes: dict[str, "Index"],
+                       text: str, k: int = 10, match_type: str = "best_fields",
+                       tie_breaker: float = 0.0,
+                       boosts: dict[str, float] | None = None) -> DataFrame:
+    """multi_match across fields, each field its own index (its own
+    df/dl/avgdl statistics — exactly ES's per-field BM25).
+
+    best_fields -> dis_max over per-field scores (max + tie_breaker·rest);
+    most_fields -> sum of per-field scores.
+    Reference: index/query/MultiMatchQueryBuilder.java (types
+    BEST_FIELDS / MOST_FIELDS over per-field match queries)."""
+    boosts = boosts or {}
+    terms = sorted(set(analysis.analyze(text)))
+    per_field = []
+    for fname, fidx in field_indexes.items():
+        w = float(boosts.get(fname, 1.0))
+        rel = (_per_term_scored(fidx, terms)
+               .groupBy("doc_id")
+               .agg((F.sum("score") * w).alias("fscore")))
+        per_field.append(rel)
+    u = per_field[0]
+    for rel in per_field[1:]:
+        u = u.unionByName(rel)
+    agg = u.groupBy("doc_id").agg(
+        F.max("fscore").alias("mx"), F.sum("fscore").alias("sm"))
+    if match_type == "best_fields":
+        score = F.col("mx") + tie_breaker * (F.col("sm") - F.col("mx"))
+    elif match_type == "most_fields":
+        score = F.col("sm")
+    else:
+        raise ValueError(match_type)
+    return (agg.select("doc_id", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
 def count_matches(index: Index, text_or_terms, mode: str = "or") -> int:
-    """_count analog: number of matching docs (no scoring)."""
+    """_count analog ([lucene dep] TotalHitCountCollector): decodes docID
+    gaps ONLY — no tf/norm decode and no BM25 arithmetic (r01 perf
+    finding: the old path scored every candidate just to count it)."""
+    import pandas as pd
+
     terms = (analysis.analyze(text_or_terms)
              if isinstance(text_or_terms, str) else list(text_or_terms))
-    if not terms:
+    uniq = sorted(set(terms))
+    if not uniq:
         return 0
-    q = Query(0, terms, k=2**31 - 1, mode=mode)
-    return search_many(index, [q], method="distributed").count()
+    q = Query(0, uniq, k=1, mode=mode)
+    cand = _candidates(index, [q]).select(
+        "term", "first_doc_id", "docid_gaps", "n_in_block")
+
+    def decode_ids(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            counts = pdf["n_in_block"].to_numpy()
+            ids, _, _ = codec.decode_blocks_concat(
+                pdf["first_doc_id"].to_numpy(), pdf["docid_gaps"], counts)
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "term": np.repeat(pdf["term"].to_numpy(), counts)})
+
+    rel = cand.mapInPandas(decode_ids, schema="doc_id long, term string")
+    if mode == "and":
+        return (rel.groupBy("doc_id")
+                .agg(F.count_distinct("term").alias("nt"))
+                .where(F.col("nt") == len(uniq)).count())
+    return rel.select("doc_id").distinct().count()

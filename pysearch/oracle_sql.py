@@ -24,23 +24,28 @@ def _quote(t: str) -> str:
     return "'" + t.replace("'", "''") + "'"
 
 
-def corpus_ctes(table: str = "documents", text_col: str = "text") -> str:
-    """Shared CTE prefix: tok2 (post-stop tokens), dl (per-doc length incl.
-    zero-token docs), stats (N, avgdl)."""
+def corpus_ctes(table: str = "documents", text_col: str = "text",
+                prefix: str = "") -> str:
+    """Shared CTE prefix: {p}tok2 (post-stop tokens), {p}dl (per-doc length
+    incl. zero-token docs), {p}stats (N, avgdl). ``text_col`` may be any
+    SQL expression over the table (e.g. substr(text,1,80) — a derived
+    field); ``prefix`` namespaces the CTEs so two fields' chains coexist
+    in one query (multi_match)."""
+    p = prefix
     return f"""
-tok AS (
+{p}tok AS (
   SELECT doc_id, unnest({analysis.duckdb_tokens_expr(text_col)}) AS term
   FROM {table}
 ),
-tok2 AS (SELECT doc_id, term FROM tok WHERE {analysis.duckdb_stop_pred('term')}),
-dl AS (
+{p}tok2 AS (SELECT doc_id, term FROM {p}tok WHERE {analysis.duckdb_stop_pred('term')}),
+{p}dl AS (
   SELECT d.doc_id, count(t.term)::BIGINT AS dl
-  FROM {table} d LEFT JOIN tok2 t ON d.doc_id = t.doc_id
+  FROM {table} d LEFT JOIN {p}tok2 t ON d.doc_id = t.doc_id
   GROUP BY d.doc_id
 ),
-stats AS (
+{p}stats AS (
   SELECT count(*)::DOUBLE AS n,
-         (SELECT sum(dl) FROM dl)::DOUBLE / count(*) AS avgdl
+         (SELECT sum(dl) FROM {p}dl)::DOUBLE / count(*) AS avgdl
   FROM {table}
 )"""
 
@@ -94,31 +99,33 @@ SELECT doc_id, round(score_raw, {ROUND_DIGITS}) AS score FROM topk
 """
 
 
-def _scored_ctes(query_text: str, table: str = "documents") -> tuple[str, int]:
-    """Shared CTE chain ending in scored(doc_id, term, contrib) — one row
-    per matching (doc, clause) with its UNWEIGHTED BM25 contribution.
-    Returns (sql_fragment, n_unique_terms)."""
+def _scored_ctes(query_text: str, table: str = "documents",
+                 text_col: str = "text", prefix: str = "") -> tuple[str, int]:
+    """Shared CTE chain ending in {prefix}scored(doc_id, term, contrib) —
+    one row per matching (doc, clause) with its UNWEIGHTED BM25
+    contribution. Returns (sql_fragment, n_unique_terms)."""
     terms = sorted(set(analysis.analyze(query_text)))
     in_list = ", ".join(_quote(t) for t in terms)
     k1, b = analysis.K1, analysis.B
-    dlq = codec.duckdb_dlq_expr("dl.dl")
-    frag = f"""{corpus_ctes(table)},
-tf AS (
+    p = prefix
+    dlq = codec.duckdb_dlq_expr(f"{p}dl.dl")
+    frag = f"""{corpus_ctes(table, text_col, prefix)},
+{p}tf AS (
   SELECT doc_id, term, count(*)::DOUBLE AS tf
-  FROM tok2 WHERE term IN ({in_list}) GROUP BY doc_id, term
+  FROM {p}tok2 WHERE term IN ({in_list}) GROUP BY doc_id, term
 ),
-dfreq AS (
-  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+{p}dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM {p}tf GROUP BY term
 ),
-scored AS (
-  SELECT tf.doc_id, tf.term,
-         ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
-           * (tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {dlq} / s.avgdl)))
+{p}scored AS (
+  SELECT {p}tf.doc_id, {p}tf.term,
+         ln(1 + (s.n - {p}dfreq.df + 0.5) / ({p}dfreq.df + 0.5))
+           * ({p}tf.tf / ({p}tf.tf + {k1} * (1 - {b} + {b} * {dlq} / s.avgdl)))
            AS contrib
-  FROM tf
-  JOIN dfreq USING (term)
-  JOIN dl ON tf.doc_id = dl.doc_id
-  CROSS JOIN stats s
+  FROM {p}tf
+  JOIN {p}dfreq USING (term)
+  JOIN {p}dl ON {p}tf.doc_id = {p}dl.doc_id
+  CROSS JOIN {p}stats s
 )"""
     return frag, len(terms)
 
@@ -149,7 +156,7 @@ WITH {corpus_ctes(table)},
 m AS (
   SELECT doc_id FROM tok2 WHERE term IN ({in_list})
   GROUP BY doc_id {having})
-SELECT doc_id, {float(boost)} AS score FROM m ORDER BY doc_id"""
+SELECT doc_id, CAST({float(boost)} AS DOUBLE) AS score FROM m ORDER BY doc_id"""
 
 
 def function_score_sql(query_text: str, k: int,
@@ -203,6 +210,171 @@ topk AS (
   SELECT doc_id, score_raw FROM agg
   WHERE n_req = {len(req)} AND has_not = 0 AND n_should >= {plan.msm}
   ORDER BY score_raw DESC, doc_id ASC LIMIT {plan.k})
+SELECT doc_id, round(score_raw, {ROUND_DIGITS}) AS score FROM topk"""
+
+
+# Forward-index keyword columns as they appear in the RAW documents table
+# (the oracle side): the engine's corpus maps source->repo (build.py
+# corpus_from_documents), so AttrNode fields translate back here.
+_ATTR_SQL_COL = {"lang": "lang", "repo": "source"}
+
+
+def _pos_cte(table: str = "documents") -> str:
+    return f"""
+pos AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[CAST(i AS INT)] AS term
+  FROM (SELECT doc_id, {analysis.duckdb_tokens_nostop_expr('text')} AS t
+        FROM {table}),
+       unnest(range(1, len(t) + 1)) AS u(i)
+)"""
+
+
+def tree_sql(node, k: int, table: str = "documents") -> str:
+    """Oracle for a recursive query tree (plan.parse_tree /
+    parse_query_string): mirrors exec.search_tree node-for-node — every
+    node becomes a CTE producing (doc_id, score), a bool node is the same
+    tagged UNION ALL + GROUP BY + HAVING-style filter."""
+    from . import plan as pplan
+
+    terms = sorted(pplan.tree_terms(node))
+    has_phrase = _tree_has_phrase(node)
+    ctes: list[str] = []
+    if terms:
+        frag, _ = _scored_ctes(" ".join(terms), table)
+        ctes.append(frag)
+    if has_phrase:
+        ctes.append(_pos_cte(table))
+
+    counter = [0]
+
+    def emit(n) -> str:
+        name = f"nd{counter[0]}"
+        counter[0] += 1
+        if isinstance(n, pplan.MatchNode):
+            if not n.terms:  # stopword-only clause: matches nothing
+                ctes.append(f"""
+{name} AS (SELECT doc_id, 0.0 AS score FROM {table} WHERE 1=0)""")
+                return name
+            in_list = ", ".join(_quote(t) for t in n.terms)
+            ctes.append(f"""
+{name} AS (
+  SELECT doc_id, sum(contrib) AS score FROM scored
+  WHERE term IN ({in_list}) GROUP BY doc_id
+)""")
+            return name
+        if isinstance(n, pplan.PhraseNode):
+            joins, conds = [], []
+            for i in range(len(n.terms)):
+                joins.append(f"pos a{i}")
+                conds.append(f"a{i}.term = {_quote(n.terms[i])}")
+                if i:
+                    conds.append(f"a{i}.doc_id = a{i-1}.doc_id")
+                    conds.append(
+                        f"a{i}.pos BETWEEN a{i-1}.pos + 1 "
+                        f"AND a{i-1}.pos + 1 + {n.slop}")
+            in_list = ", ".join(_quote(t) for t in n.terms)
+            ctes.append(f"""
+{name} AS (
+  SELECT s.doc_id, s.score FROM (
+    SELECT DISTINCT a0.doc_id FROM {', '.join(joins)}
+    WHERE {' AND '.join(conds)}) m
+  JOIN (SELECT doc_id, sum(contrib) AS score FROM scored
+        WHERE term IN ({in_list}) GROUP BY doc_id) s
+    ON m.doc_id = s.doc_id
+)""")
+            return name
+        if isinstance(n, pplan.AttrNode):
+            col = _ATTR_SQL_COL.get(n.field, n.field)
+            ctes.append(f"""
+{name} AS (
+  SELECT doc_id, 0.0 AS score FROM {table} WHERE {col} = {_quote(n.value)}
+)""")
+            return name
+        assert isinstance(n, pplan.BoolNode)
+        branches = []
+        for kind in ("must", "should", "must_not", "filter"):
+            for cid, sub in enumerate(getattr(n, kind)):
+                cname = emit(sub)
+                branches.append(
+                    f"SELECT doc_id, score, '{kind}' AS kind, "
+                    f"'{kind}:{cid}' AS cid FROM {cname}")
+        if not any((n.must, n.should, n.filter)):
+            branches.append(
+                f"SELECT doc_id, 0.0 AS score, 'seed' AS kind, "
+                f"'seed:0' AS cid FROM {table}")
+        union = "\n  UNION ALL ".join(branches)
+        eff_msm = n.msm if n.should else 0
+        ctes.append(f"""
+{name} AS (
+  SELECT doc_id, score FROM (
+    SELECT doc_id,
+           sum(CASE WHEN kind IN ('must', 'should') THEN score ELSE 0.0 END) AS score,
+           count(DISTINCT CASE WHEN kind = 'must' THEN cid END) AS n_must,
+           count(DISTINCT CASE WHEN kind = 'filter' THEN cid END) AS n_filter,
+           count(DISTINCT CASE WHEN kind = 'should' THEN cid END) AS n_should,
+           max(CASE WHEN kind = 'must_not' THEN 1 ELSE 0 END) AS has_not
+    FROM ({union})
+    GROUP BY doc_id)
+  WHERE n_must = {len(n.must)} AND n_filter = {len(n.filter)}
+    AND n_should >= {eff_msm} AND has_not = 0
+)""")
+        return name
+
+    root = emit(node)
+    body = ",".join(ctes)
+    return f"""
+WITH {body}
+SELECT doc_id, round(score, {ROUND_DIGITS}) AS score FROM (
+  SELECT doc_id, score FROM {root}
+  ORDER BY score DESC, doc_id ASC LIMIT {k})"""
+
+
+def _tree_has_phrase(node) -> bool:
+    from . import plan as pplan
+
+    if isinstance(node, pplan.PhraseNode):
+        return True
+    if isinstance(node, pplan.BoolNode):
+        return any(_tree_has_phrase(s)
+                   for slot in ("must", "should", "must_not", "filter")
+                   for s in getattr(node, slot))
+    return False
+
+
+def multi_match_sql(text: str, fields: dict[str, str], k: int,
+                    match_type: str = "best_fields", tie_breaker: float = 0.0,
+                    boosts: dict[str, float] | None = None,
+                    table: str = "documents") -> str:
+    """Oracle for multi_match: one prefixed per-field BM25 chain per entry
+    of ``fields`` (name -> SQL text expression over the table), combined
+    best_fields (max + tb·rest) or most_fields (sum) — mirroring
+    exec.search_multi_match."""
+    boosts = boosts or {}
+    frags, branches = [], []
+    for i, (fname, fexpr) in enumerate(fields.items()):
+        p = f"f{i}_"
+        frag, _ = _scored_ctes(text, table, text_col=fexpr, prefix=p)
+        frags.append(frag)
+        w = float(boosts.get(fname, 1.0))
+        branches.append(
+            f"SELECT doc_id, sum(contrib) * {w} AS fscore "
+            f"FROM {p}scored GROUP BY doc_id")
+    union = "\n  UNION ALL ".join(branches)
+    if match_type == "best_fields":
+        score = f"mx + {tie_breaker} * (sm - mx)"
+    elif match_type == "most_fields":
+        score = "sm"
+    else:
+        raise ValueError(match_type)
+    return f"""
+WITH {",".join(frags)},
+perfield AS ({union}),
+agg AS (
+  SELECT doc_id, max(fscore) AS mx, sum(fscore) AS sm
+  FROM perfield GROUP BY doc_id),
+topk AS (
+  SELECT doc_id, {score} AS score_raw FROM agg
+  ORDER BY score_raw DESC, doc_id ASC LIMIT {k})
 SELECT doc_id, round(score_raw, {ROUND_DIGITS}) AS score FROM topk"""
 
 

@@ -4,17 +4,33 @@ Reference: search/builder/SearchSourceBuilder.java parses the JSON DSL
 into a QueryBuilder tree (index/query/*QueryBuilder.java); our analog is
 a dict → BoolPlan dataclass → DataFrame program (exec.search_bool_full).
 
-Supported shapes (the P0/P1 slice):
+Two surfaces:
+
+* ``parse_dsl`` — FLAT BoolPlan (term/match leaves only; any nested
+  ``bool`` clause raises). Kept for the simple q_bool_full path.
+* ``parse_tree`` — the full RECURSIVE QueryBuilder tree (bool inside
+  must/should/must_not/filter to arbitrary depth, plus attr filters and
+  phrases), executed by exec.search_tree and mirrored in SQL by
+  oracle_sql.tree_sql. This is the analog of the reference's
+  BoolQueryBuilder tree (index/query/BoolQueryBuilder.java builds an
+  arbitrary composition of QueryBuilders).
+* ``parse_query_string`` — the `query_string` mini-language
+  (QueryStringQueryBuilder.java / [lucene dep] classic QueryParser):
+  ``+term -term field:value "a phrase" a AND b`` → tree.
+
+Supported dict shapes:
     {"term":  {"value": "merge"}}
     {"match": {"query": "merge sort"}}                     # analyzed, OR
+    {"match_phrase": {"query": "merge sort", "slop": 0}}
+    {"attr":  {"field": "lang", "value": "en"}}            # keyword filter
     {"bool":  {"must": [...], "should": [...],
                "must_not": [...], "filter": [...],
-               "minimum_should_match": 1}}
-Nested bools are flattened one level (must-of-must etc.); full recursive
-composition is the reference's QueryBuilder tree and stays future work.
+               "minimum_should_match": 1}}                 # recursive
 """
 
 from __future__ import annotations
+
+import re as _re
 
 from dataclasses import dataclass, field
 
@@ -58,6 +74,150 @@ def _clause_terms(clause) -> list[str]:
         text = body["query"] if isinstance(body, dict) else body
         return analysis.analyze(text)
     raise ValueError(f"unsupported sub-query {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# Recursive query tree (the real QueryBuilder-tree analog)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MatchNode:
+    """Scored leaf: doc matches if it contains >=1 term; score = Σ BM25
+    contributions of the terms it contains (TermQuery is terms=[t])."""
+    terms: list[str]
+
+
+@dataclass
+class PhraseNode:
+    """match_phrase: terms at consecutive positions (within slop, ordered).
+    Score simplification (documented divergence from Lucene's
+    phrase-frequency scoring): Σ BM25 of the constituent terms, restricted
+    to phrase-matching docs."""
+    terms: list[str]
+    slop: int = 0
+
+
+@dataclass
+class AttrNode:
+    """Unscored keyword filter on a forward-index column (lang:en)."""
+    field: str
+    value: str
+
+
+@dataclass
+class BoolNode:
+    must: list = field(default_factory=list)
+    should: list = field(default_factory=list)
+    must_not: list = field(default_factory=list)
+    filter: list = field(default_factory=list)
+    minimum_should_match: int | None = None
+
+    @property
+    def msm(self) -> int:
+        if self.minimum_should_match is not None:
+            return self.minimum_should_match
+        return 0 if (self.must or self.filter) else 1
+
+
+def parse_tree(dsl: dict):
+    """ES-search-DSL dict -> recursive node tree (bool at any depth)."""
+    (kind, body), = dsl.items()
+    if kind == "term":
+        value = body["value"] if isinstance(body, dict) else body
+        return MatchNode(terms=[value])
+    if kind == "match":
+        text = body["query"] if isinstance(body, dict) else body
+        return MatchNode(terms=analysis.analyze(text))
+    if kind == "match_phrase":
+        text = body["query"] if isinstance(body, dict) else body
+        slop = int(body.get("slop", 0)) if isinstance(body, dict) else 0
+        return PhraseNode(terms=analysis.analyze(text), slop=slop)
+    if kind == "attr":
+        return AttrNode(field=body["field"], value=body["value"])
+    if kind == "bool":
+        node = BoolNode()
+        for slot in ("must", "should", "must_not", "filter"):
+            for sub in body.get(slot, []):
+                getattr(node, slot).append(parse_tree(sub))
+        if "minimum_should_match" in body:
+            node.minimum_should_match = int(body["minimum_should_match"])
+        return node
+    raise ValueError(f"unsupported query kind {kind!r}")
+
+
+def tree_terms(node) -> set[str]:
+    """All content terms referenced anywhere in the tree."""
+    if isinstance(node, (MatchNode, PhraseNode)):
+        return set(node.terms)
+    if isinstance(node, AttrNode):
+        return set()
+    out: set[str] = set()
+    for slot in ("must", "should", "must_not", "filter"):
+        for sub in getattr(node, slot):
+            out |= tree_terms(sub)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# query_string mini-language  (QueryStringQueryBuilder / classic QueryParser)
+# ---------------------------------------------------------------------------
+
+_QS_TOKEN = _re.compile(r'"[^"]*"|\S+')
+
+#: forward-index keyword columns addressable as field:value
+ATTR_FIELDS = ("lang", "repo", "path", "commit")
+
+
+def parse_query_string(qs: str) -> BoolNode:
+    """`+must -not field:value "a phrase" a AND b` -> BoolNode.
+
+    Semantics (subset of Lucene's classic QueryParser, default_operator=OR):
+      +clause   -> must        -clause -> must_not
+      a AND b   -> both clauses become must
+      "x y"     -> phrase clause      field:v (keyword field) -> filter
+      content:x -> analyzed content clause     bare word -> should
+    OR is the default joiner and is accepted/ignored as a keyword.
+    Parentheses are NOT supported (documented; use the dict DSL for
+    arbitrary nesting — this parser covers the search-box surface)."""
+    node = BoolNode()
+    raw = _QS_TOKEN.findall(qs or "")
+    # pre-scan AND positions: tokens joined by AND both become must
+    toks: list[str] = [t for t in raw if t.upper() != "OR"]
+    and_next: set[int] = set()
+    cleaned: list[str] = []
+    for t in toks:
+        if t.upper() == "AND":
+            if cleaned:
+                and_next.add(len(cleaned) - 1)  # previous clause
+                and_next.add(len(cleaned))      # next clause
+        else:
+            cleaned.append(t)
+    for i, t in enumerate(cleaned):
+        slot = "should"
+        if t.startswith("+"):
+            slot, t = "must", t[1:]
+        elif t.startswith("-"):
+            slot, t = "must_not", t[1:]
+        elif i in and_next:
+            slot = "must"
+        if not t:
+            continue
+        if t.startswith('"') and t.endswith('"'):
+            sub = PhraseNode(terms=analysis.analyze(t.strip('"')))
+        elif ":" in t and t.split(":", 1)[0] in ATTR_FIELDS:
+            f, v = t.split(":", 1)
+            sub = AttrNode(field=f, value=v)
+            if slot == "should":
+                slot = "filter"  # keyword fields filter, they don't score
+        elif ":" in t and t.split(":", 1)[0] == "content":
+            sub = MatchNode(terms=analysis.analyze(t.split(":", 1)[1]))
+        else:
+            sub = MatchNode(terms=analysis.analyze(t))
+        if isinstance(sub, MatchNode) and not sub.terms:
+            continue  # stopword-only clause
+        getattr(node, slot).append(sub)
+    return node
 
 
 def parse_dsl(dsl: dict, k: int = 10) -> BoolPlan:

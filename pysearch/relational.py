@@ -111,7 +111,7 @@ def f_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_reg("f_fuzzy", f"""
 WITH tok AS (
-  SELECT doc_id, unnest({analysis.duckdb_tokens_expr('text')}) AS term
+  SELECT doc_id, unnest({analysis.duckdb_tokens_nostop_expr('text')}) AS term
   FROM documents
 ),
 vocab AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
@@ -150,7 +150,7 @@ def f_match_none(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_reg("f_terms_set", f"""
 WITH tok AS (
-  SELECT doc_id, unnest({analysis.duckdb_tokens_expr('text')}) AS term
+  SELECT doc_id, unnest({analysis.duckdb_tokens_nostop_expr('text')}) AS term
   FROM documents
 )
 SELECT doc_id, count(DISTINCT term) AS n_matched FROM tok
@@ -467,8 +467,8 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_reg("pipe_cumsum", f"""
 WITH {_DAILY_SQL}
-SELECT day, cnt, sum(cnt) OVER (ORDER BY day
-  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+SELECT day, cnt, CAST(sum(cnt) OVER (ORDER BY day
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
 FROM daily ORDER BY day""")
 def pipe_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
@@ -511,6 +511,195 @@ WITH {_DAILY_SQL}
 SELECT day, cnt FROM daily ORDER BY cnt DESC, day ASC LIMIT 5""")
 def pipe_bucket_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _daily(spark, sf_dir).orderBy(F.desc("cnt"), F.asc("day")).limit(5)
+
+
+@_reg("pipe_bucket_script", f"""
+WITH dailyt AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS cnt,
+         count(*) FILTER (WHERE event_type = 'click') AS clicks
+  FROM events GROUP BY day
+)
+SELECT day, CAST(clicks AS BIGINT) AS clicks,
+       round(clicks * 1.0 / cnt, 6) AS click_ratio
+FROM dailyt ORDER BY day""")
+def pipe_bucket_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BucketScriptPipelineAggregator: arithmetic across sibling agg paths
+    within each bucket (clicks/total ratio per day)."""
+    return (tbl(spark, sf_dir, "events")
+            .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.count("*").alias("cnt"),
+                 F.count_if(F.col("event_type") == "click").alias("clicks"))
+            .select("day", "clicks",
+                    F.round(F.col("clicks") / F.col("cnt"), 6)
+                    .alias("click_ratio"))
+            .orderBy("day"))
+
+
+@_reg("pipe_serial_diff", f"""
+WITH {_DAILY_SQL}
+SELECT day, cnt, cnt - lag(cnt, 7) OVER (ORDER BY day) AS diff7
+FROM daily ORDER BY day""")
+def pipe_serial_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SerialDiffPipelineAggregator: lag-n differencing (n=7)."""
+    w = Window.orderBy("day")
+    return (_daily(spark, sf_dir)
+            .withColumn("diff7", F.col("cnt") - F.lag("cnt", 7).over(w))
+            .orderBy("day"))
+
+
+@_reg("pipe_avg_bucket", f"""
+WITH {_DAILY_SQL}
+SELECT round(avg(cnt), 6) AS avg_cnt,
+       CAST(min(cnt) AS BIGINT) AS min_cnt,
+       CAST(max(cnt) AS BIGINT) AS max_cnt,
+       CAST(sum(cnt) AS BIGINT) AS sum_cnt
+FROM daily""")
+def pipe_avg_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg/min/max/sum_bucket pipeline aggs: second-level aggregation over
+    the bucket metric (…BucketPipelineAggregator.java family)."""
+    return _daily(spark, sf_dir).agg(
+        F.round(F.avg("cnt"), 6).alias("avg_cnt"),
+        F.min("cnt").alias("min_cnt"), F.max("cnt").alias("max_cnt"),
+        F.sum("cnt").alias("sum_cnt"))
+
+
+# ---------------------------------------------------------------------------
+# §2.5/§2.6 additions: nested docs, getbyid, adjacency matrix, MAD,
+# scripted metric
+# ---------------------------------------------------------------------------
+
+@_reg("f_nested", """
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events FROM (
+  SELECT user_id, count(*) AS n_events,
+         count(*) FILTER (WHERE event_type = 'purchase' AND value > 400) AS hits
+  FROM events GROUP BY user_id)
+WHERE hits > 0 ORDER BY user_id""")
+def f_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NestedQueryBuilder: predicate over independently-queryable
+    sub-documents, joined back to the parent. The nested docs are
+    materialized as a real array<struct> column (user -> events[]), and
+    the query is the higher-order `exists()` over it — the Spark shape of
+    Lucene's block-join (SURVEY §2.5 f_nested). The oracle expresses the
+    same relation flat (nested storage is an engine detail)."""
+    ev = tbl(spark, sf_dir, "events")
+    nested = (ev.groupBy("user_id")
+              .agg(F.collect_list(F.struct("event_type", "value")).alias("events")))
+    hit = F.exists(
+        "events",
+        lambda e: (e["event_type"] == "purchase") & (e["value"] > 400))
+    return (nested.where(hit)
+            .select("user_id", F.size("events").cast("long").alias("n_events"))
+            .orderBy("user_id"))
+
+
+@_reg("scan_getbyid", """
+SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42""")
+def scan_getbyid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET _doc/{id} (TransportGetAction): single-doc point lookup — the
+    doc_id predicate pushes to the parquet scan (min/max row-group skip)."""
+    return (tbl(spark, sf_dir, "documents")
+            .where(F.col("doc_id") == 42)
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
+@_reg("scroll_keyset", """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_orderkey LIMIT 10 OFFSET 20""")
+def scroll_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scroll / point-in-time cursor (ScrollContext / TransportOpenPointInTimeAction):
+    deep pagination as repeated KEYSET advances over a stable sort — the
+    cursor state is the last sort key, not an offset, so each page is
+    O(page) however deep (unlike from/size). Pages 1-2 are drained to
+    position the cursor; page 3 is returned."""
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    last_key = None
+    for _ in range(2):  # drain two pages to advance the cursor
+        page = o
+        if last_key is not None:
+            page = page.where(F.col("o_orderkey") > last_key)
+        rows = page.orderBy("o_orderkey").limit(10).collect()
+        last_key = rows[-1]["o_orderkey"]
+    return (o.where(F.col("o_orderkey") > last_key)
+            .orderBy("o_orderkey").limit(10))
+
+
+@_reg("agg_adjacency_matrix", f"""
+WITH flags AS (
+  SELECT d.doc_id,
+         max(CASE WHEN t.term = 'merge' THEN 1 ELSE 0 END) AS a,
+         max(CASE WHEN t.term = 'sort' THEN 1 ELSE 0 END) AS b,
+         max(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS c
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, unnest({analysis.duckdb_tokens_nostop_expr('text')}) AS term
+             FROM documents) t ON d.doc_id = t.doc_id
+  GROUP BY d.doc_id)
+SELECT count(*) FILTER (WHERE a = 1) AS n_a,
+       count(*) FILTER (WHERE b = 1) AS n_b,
+       count(*) FILTER (WHERE c = 1) AS n_c,
+       count(*) FILTER (WHERE a = 1 AND b = 1) AS n_ab,
+       count(*) FILTER (WHERE a = 1 AND c = 1) AS n_ac,
+       count(*) FILTER (WHERE b = 1 AND c = 1) AS n_bc
+FROM flags""")
+def agg_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AdjacencyMatrixAggregator: per-filter bucket counts + all pairwise
+    intersections in ONE pass (filters: has 'merge', has 'sort', lang=en)."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = analysis.tokens_expr(F.col("text"))
+    flags = d.select(
+        "doc_id",
+        F.array_contains(toks, "merge").cast("int").alias("a"),
+        F.array_contains(toks, "sort").cast("int").alias("b"),
+        (F.col("lang") == "en").cast("int").alias("c"))
+    return flags.agg(
+        F.count_if(F.col("a") == 1).alias("n_a"),
+        F.count_if(F.col("b") == 1).alias("n_b"),
+        F.count_if(F.col("c") == 1).alias("n_c"),
+        F.count_if((F.col("a") == 1) & (F.col("b") == 1)).alias("n_ab"),
+        F.count_if((F.col("a") == 1) & (F.col("c") == 1)).alias("n_ac"),
+        F.count_if((F.col("b") == 1) & (F.col("c") == 1)).alias("n_bc"))
+
+
+@_reg("agg_median_abs_dev", """
+WITH med AS (SELECT quantile_cont(l_quantity, 0.5) AS m FROM lineitem)
+SELECT round((SELECT quantile_cont(abs(l_quantity - med.m), 0.5)
+              FROM lineitem, med), 4) AS mad""")
+def agg_median_abs_dev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MedianAbsoluteDeviationAggregator: median(|x - median(x)|) — exact
+    two-pass (ES approximates with t-digest; documented difference)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    med = li.agg(F.percentile("l_quantity", F.lit(0.5)).alias("m"))
+    return (li.crossJoin(F.broadcast(med))
+            .agg(F.round(F.percentile(
+                F.abs(F.col("l_quantity") - F.col("m")), F.lit(0.5)), 4)
+                .alias("mad")))
+
+
+@_reg("agg_scripted_metric", """
+SELECT round(sum(CAST(round(l_discount * 100, 0) AS BIGINT)
+            * CAST(round(l_discount * 100, 0) AS BIGINT)) / 10000.0, 4)
+       AS sum_sq_discount
+FROM lineitem""")
+def agg_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ScriptedMetricAggregator: user map/combine/reduce. The map+combine
+    script runs per partition in a vectorized mapInPandas kernel (partial
+    states), reduce is the final agg — exactly ES's per-shard
+    map/combine + coordinator reduce. Integer cent arithmetic keeps both
+    engines exact regardless of partition/sum order."""
+    li = tbl(spark, sf_dir, "lineitem").select("l_discount")
+
+    def map_combine(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = 0
+        for pdf in batches:
+            cents = np.rint(pdf["l_discount"].to_numpy() * 100).astype(np.int64)
+            acc += int((cents * cents).sum())
+        yield pd.DataFrame({"partial": [acc]})
+
+    partials = li.mapInPandas(map_combine, schema="partial long")
+    return partials.agg(
+        F.round(F.sum("partial") / 10000.0, 4).alias("sum_sq_discount"))
 
 
 # ---------------------------------------------------------------------------
@@ -559,7 +748,7 @@ def collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOK_CTE = f"""
 tok AS (
-  SELECT doc_id, unnest({analysis.duckdb_tokens_expr('text')}) AS term
+  SELECT doc_id, unnest({analysis.duckdb_tokens_nostop_expr('text')}) AS term
   FROM documents
 )"""
 

@@ -26,19 +26,38 @@ def ddb():
     return con
 
 
+# DuckDB result column types that the driver's value hash stringifies
+# differently from the matching Spark type (HUGEINT/DECIMAL surface as
+# floats): their presence is itself a failure — the oracle SQL must CAST.
+_BAD_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def _tag(v):
+    """Type-tagged canonical value. Mirrors the driver hash semantics:
+    364 (BIGINT) and 364.0 (DOUBLE) must NOT compare equal — r01's
+    pipe_cumsum failed in the driver while the old `==`-based mirror
+    stayed green (VERDICT r01 'What's wrong' #2)."""
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        v = round(v, 9) + 0.0  # +0.0 folds -0.0 into 0.0
+        return f"f:{v!r}"
+    return f"{type(v).__name__}:{v!r}"
+
+
 def _norm(rows, cols):
     out = []
     for r in rows:
         vals = []
         for c in cols:
             v = r[c] if not isinstance(r, tuple) else r[cols.index(c)]
-            if isinstance(v, float):
-                v = round(v, 9)
-                if math.isnan(v):
-                    v = "nan"
-            vals.append(v)
+            vals.append(_tag(v))
         out.append(tuple(vals))
-    return sorted(out, key=repr)
+    return sorted(out)
 
 
 def _compare_one(spark, ddb, name, qfn, sql):
@@ -47,6 +66,12 @@ def _compare_one(spark, ddb, name, qfn, sql):
     srows = [r.asDict() for r in sdf.collect()]
     ores = ddb.sql(sql)
     ocols = sorted(ores.columns)
+    for cname, ctype in zip(ores.columns, ores.types):
+        ts = str(ctype)
+        assert not any(bad in ts for bad in _BAD_ORACLE_TYPES), (
+            f"{name}: oracle column {cname} has type {ts} — the driver "
+            f"hashes it as float while Spark emits int; add an explicit "
+            f"CAST in the oracle SQL")
     orows = [dict(zip(ores.columns, t)) for t in ores.fetchall()]
     assert cols == ocols, f"{name}: columns {cols} vs oracle {ocols}"
     assert len(srows) == len(orows), f"{name}: {len(srows)} rows vs {len(orows)}"
