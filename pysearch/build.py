@@ -100,16 +100,41 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def with_doc_ids(corpus: DataFrame) -> DataFrame:
+def with_doc_ids(corpus: DataFrame, n_parts: int | None = None) -> DataFrame:
     """Assign the contractual doc_id: 0-based dense rank over (repo,path,commit).
 
-    (repo,path,commit) is unique, so row_number == dense rank. Single global
-    sort — acceptable: runs once at ingest, and Spark's rangepartition sort
-    scales; at true 10^12 scale swap for zipWithIndex-style two-pass offsets.
+    (repo,path,commit) is unique, so row_number == dense rank. Scale-safe
+    two-pass shape (no single-task global window — the r01 plan audit
+    flagged the old Window.orderBy as a scale killer):
+      1. range-partition + persist (freezes the partitioning), collect the
+         tiny per-partition count map, turn it into cumulative offsets;
+      2. row_number within each partition (ordered by the same key) plus
+         the broadcast per-partition offset.
+    Range partitions carry ascending key ranges in ascending partition-id
+    order, so within-partition rank + offset IS the global dense rank.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
-    w = Window.orderBy("repo", "path", "commit")
-    return corpus.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+
+    spark = corpus.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part = (corpus.repartitionByRange(n_parts, "repo", "path", "commit")
+            .withColumn("_pid", F.spark_partition_id())
+            .persist(StorageLevel.DISK_ONLY))
+    counts = {int(r["_pid"]): int(r["cnt"])
+              for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    odf = F.broadcast(spark.createDataFrame(
+        sorted(offsets.items()), "_pid int, _off long"))
+    w = Window.partitionBy("_pid").orderBy("repo", "path", "commit")
+    return (part.join(odf, "_pid")
+            .withColumn("doc_id",
+                        F.row_number().over(w).cast("long") + F.col("_off") - 1)
+            .drop("_pid", "_off"))
 
 
 def tokenize(corpus: DataFrame, tokenizer: str = "native") -> DataFrame:
@@ -121,6 +146,66 @@ def tokenize(corpus: DataFrame, tokenizer: str = "native") -> DataFrame:
     else:
         raise ValueError(tokenizer)
     return corpus.select("doc_id", toks.alias("tokens"))
+
+
+def encode_partition_kernel(n_docs: int, avgdl: float, k1: float, b: float):
+    """mapInPandas kernel: posting-grain rows (doc_id, tf, dl_byte, term,
+    salt, df), sorted by (term, salt) within the partition, -> encoded
+    POSTINGS_SCHEMA block rows. Runs straddling an Arrow batch boundary
+    are carried into the next batch. Shared by build_index and
+    merge_indexes' re-salt path."""
+
+    def encode_partition(batches):
+        import numpy as np
+        import pandas as pd
+
+        cols = [f.name for f in POSTINGS_SCHEMA.fields]
+        carry: pd.DataFrame | None = None
+
+        def encode_run(doc_ids, tfs, dl_bytes, term, salt, df_global, out):
+            idf = float(codec.bm25_idf(df_global, n_docs))
+            for r in codec.encode_blocks(doc_ids, tfs, dl_bytes,
+                                         idf, avgdl, k1, b):
+                r["term"] = term
+                r["salt"] = salt
+                r["bucket"] = 0  # filled by caller (needs xxhash64 = JVM)
+                r["df"] = df_global
+                out.append(r)
+
+        def flush(pdf, last_partial):
+            """Encode all complete runs of pdf; return (rows, carry)."""
+            terms = pdf["term"].to_numpy()
+            salts = pdf["salt"].to_numpy()
+            change = np.flatnonzero((terms[1:] != terms[:-1])
+                                    | (salts[1:] != salts[:-1])) + 1
+            bounds = np.concatenate(([0], change, [len(pdf)]))
+            stop = len(bounds) - 2 if last_partial else len(bounds) - 1
+            doc_ids = pdf["doc_id"].to_numpy()
+            tfs = pdf["tf"].to_numpy()
+            dlb = pdf["dl_byte"].to_numpy()
+            dfs = pdf["df"].to_numpy()
+            out: list[dict] = []
+            for i in range(stop):
+                lo, hi = bounds[i], bounds[i + 1]
+                encode_run(doc_ids[lo:hi], tfs[lo:hi], dlb[lo:hi],
+                           terms[lo], int(salts[lo]), int(dfs[lo]), out)
+            rest = pdf.iloc[bounds[stop]:].copy() if last_partial else None
+            return out, rest
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            rows, carry = flush(pdf, last_partial=True)
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+        if carry is not None and len(carry):
+            rows, _ = flush(carry, last_partial=False)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return encode_partition
 
 
 def build_index(
@@ -228,58 +313,10 @@ def build_index(
     sorted_parts = (enriched.repartition(n_parts, "term", "salt")
                     .sortWithinPartitions("term", "salt"))
 
-    def encode_partition(batches):
-        import numpy as np
-        import pandas as pd
-
-        cols = [f.name for f in POSTINGS_SCHEMA.fields]
-        carry: pd.DataFrame | None = None
-
-        def encode_run(doc_ids, tfs, dl_bytes, term, salt, df_global, out):
-            idf = float(codec.bm25_idf(df_global, n_docs))
-            for r in codec.encode_blocks(doc_ids, tfs, dl_bytes,
-                                         idf, avgdl, k1, b):
-                r["term"] = term
-                r["salt"] = salt
-                r["bucket"] = 0  # filled below (needs xxhash64 = JVM)
-                r["df"] = df_global
-                out.append(r)
-
-        def flush(pdf, last_partial):
-            """Encode all complete runs of pdf; return (rows, carry)."""
-            terms = pdf["term"].to_numpy()
-            salts = pdf["salt"].to_numpy()
-            change = np.flatnonzero((terms[1:] != terms[:-1])
-                                    | (salts[1:] != salts[:-1])) + 1
-            bounds = np.concatenate(([0], change, [len(pdf)]))
-            stop = len(bounds) - 2 if last_partial else len(bounds) - 1
-            doc_ids = pdf["doc_id"].to_numpy()
-            tfs = pdf["tf"].to_numpy()
-            dlb = pdf["dl_byte"].to_numpy()
-            dfs = pdf["df"].to_numpy()
-            out: list[dict] = []
-            for i in range(stop):
-                lo, hi = bounds[i], bounds[i + 1]
-                encode_run(doc_ids[lo:hi], tfs[lo:hi], dlb[lo:hi],
-                           terms[lo], int(salts[lo]), int(dfs[lo]), out)
-            rest = pdf.iloc[bounds[stop]:].copy() if last_partial else None
-            return out, rest
-
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if not len(pdf):
-                continue
-            rows, carry = flush(pdf, last_partial=True)
-            if rows:
-                yield pd.DataFrame(rows, columns=cols)
-        if carry is not None and len(carry):
-            rows, _ = flush(carry, last_partial=False)
-            yield pd.DataFrame(rows, columns=cols)
-
     postings = (
-        sorted_parts.mapInPandas(encode_partition, schema=POSTINGS_SCHEMA)
+        sorted_parts.mapInPandas(
+            encode_partition_kernel(n_docs, avgdl, k1, b),
+            schema=POSTINGS_SCHEMA)
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
     )
     if cache:

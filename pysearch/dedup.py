@@ -28,6 +28,11 @@ REGISTRY: dict[str, Entry] = {}
 
 JACCARD_TAU = 0.6
 SHINGLE_K = 3          # word 3-grams
+SHINGLE_DF_CAP = 100   # shingles in more docs than this are dropped: they
+                       # carry no dedup signal and a shingle shared by m
+                       # docs fans out m²/2 candidate pairs — the Zipf-head
+                       # skew killer at 100 TB (r01 advice: the cap was
+                       # documented but not implemented)
 MINHASH_N = 8          # minhash functions
 MINHASH_BAND = 1       # rows per band -> 8 bands of 1: high-recall config
                        # (P(miss) = (1-j)^8 ≈ 0.07% at j = τ = 0.6; exact-
@@ -70,7 +75,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) — DISTINCT word-SHINGLE_K-grams of the analyzed
-    token stream. Shingle = tokens joined by ' '."""
+    token stream, with shingles above SHINGLE_DF_CAP docs dropped (the
+    frequent-shingle skew cap; identical filter in the SQL oracle)."""
     d = tbl(spark, sf_dir, "documents")
     toks = d.select("doc_id", analysis.tokens_expr(F.col("text")).alias("t"))
     n = F.size("t") - (SHINGLE_K - 1)
@@ -79,17 +85,27 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
         F.array().cast("array<int>"))
     sh = F.transform(pos, lambda i: F.concat_ws(" ", F.slice("t", i, SHINGLE_K)))
-    return (toks.select("doc_id", F.explode(sh).alias("shingle")).distinct())
+    raw = toks.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    ok = (raw.groupBy("shingle").agg(F.count("*").alias("sdf"))
+          .where(F.col("sdf") <= SHINGLE_DF_CAP).select("shingle"))
+    return raw.join(ok, "shingle").select("doc_id", "shingle")
 
 
 _SHINGLE_CTE = f"""
 tokarr AS (
   SELECT doc_id, {analysis.duckdb_tokens_nostop_expr('text')} AS t FROM documents
 ),
-shingle AS (
+shingle0 AS (
   SELECT DISTINCT doc_id,
          array_to_string(t[i:i+{SHINGLE_K - 1}], ' ') AS shingle
   FROM tokarr, unnest(range(1, greatest(len(t) - {SHINGLE_K - 2}, 1))) AS u(i)
+),
+shok AS (
+  SELECT shingle FROM shingle0 GROUP BY shingle
+  HAVING count(*) <= {SHINGLE_DF_CAP}
+),
+shingle AS (
+  SELECT s.doc_id, s.shingle FROM shingle0 s JOIN shok USING (shingle)
 )"""
 
 

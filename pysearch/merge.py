@@ -8,22 +8,29 @@ server/src/main/java/org/elasticsearch/index/MergePolicyConfig.java,
 index/engine/ElasticsearchConcurrentMergeScheduler.java).
 
 Spark formulation: a TRUE merge — posting blocks are decoded and
-re-encoded, documents are NOT re-tokenized. One term-hash shuffle of the
-(already tiny) encoded block rows, then a grouped-map re-encode per term:
+re-encoded, documents are NOT re-tokenized. The shuffle key is
+(term, salt), NEVER bare term (the r01 plan audit flagged the old
+groupBy(term) as a scale killer: a Zipf-head term's entire merged posting
+set landed in ONE task — exactly the skew the build path salts for).
+Two paths, chosen per term:
 
-  postings_a ∪ postings_b ─ join new global term_stats ─ groupBy(term)
-    ─ applyInPandas: decode blocks → concat → sort by doc_id → re-salt
-      → re-encode 128-doc blocks with merged-index idf/avgdl
+  * FAST (salt keys stable: every input segment salted the term with the
+    same n_salts as the merged index wants): encoded block rows shuffle
+    by (term, salt) — ~1-2 bytes/posting on the wire — then a
+    partition-wise mapInPandas kernel decodes each (term, salt) run,
+    re-sorts, and re-encodes with the merged idf. Max task grain = one
+    salt sub-list of one term.
+  * RE-SALT (a term's df crossed the salt threshold, or segments
+    disagree): blocks are decoded to posting-grain rows first
+    (vectorized decode_blocks_concat), the new salt = doc_id % n_salts'
+    is attached, and the rows flow through THE SAME
+    repartition(term, salt) + sortWithinPartitions + encode kernel the
+    build path uses (build.encode_partition_kernel).
 
 Invariant (tested): merge(build(A), build(B)) is BYTE-IDENTICAL to
 build(A ∪ B) — same blocks, same impacts, same salting — because salting
 is a pure function of the merged df and block framing is a pure function
 of the sorted docID list.
-
-Scale notes: the shuffle moves encoded blocks (~1-2 bytes/posting), not
-tokens; hot merged terms are one task each (their sub-lists must meet to
-be re-salted) — the same skew the build path salts for, bounded here by
-the fact that merge inputs are already compressed.
 """
 
 from __future__ import annotations
@@ -32,7 +39,7 @@ from pyspark.sql import SparkSession, functions as F
 
 from . import codec
 from .build import (DEFAULT_N_SALTS, DEFAULT_SALT_THRESHOLD, POSTINGS_SCHEMA,
-                    Index, Stats)
+                    Index, Stats, encode_partition_kernel)
 
 
 def merge_indexes(spark: SparkSession, indexes: list[Index], *,
@@ -68,48 +75,117 @@ def merge_indexes(spark: SparkSession, indexes: list[Index], *,
     if cache:
         term_stats = term_stats.persist()
 
-    posts = indexes[0].postings
-    for ix in indexes[1:]:
-        posts = posts.unionByName(ix.postings)
-    # drop per-segment df (stale) and re-attach the merged global df
-    posts = (posts.drop("df", "bucket", "salt")
-             .join(term_stats.select("term", "df", "n_salts"), "term"))
+    # per-segment old n_salts rides along so each term can be routed to
+    # the fast (salt-stable) or re-salt path
+    posts = None
+    for ix in indexes:
+        old = ix.term_stats.select("term", F.col("n_salts").alias("old_n_salts"))
+        part = ix.postings.drop("df", "bucket").join(F.broadcast(old), "term")
+        posts = part if posts is None else posts.unionByName(part)
+    posts = posts.join(
+        F.broadcast(term_stats.select("term", "df", "n_salts")), "term")
+    fast_flag = (
+        posts.groupBy("term")
+        .agg(F.min((F.col("old_n_salts") == F.col("n_salts")).cast("int"))
+             .alias("fast")))
+    posts = posts.join(F.broadcast(fast_flag), "term")
 
     n_docs, avgdl = stats.n_docs, stats.avgdl
+    spark_ = posts.sparkSession
+    n_parts = int(spark_.conf.get("spark.sql.shuffle.partitions"))
 
-    def remerge(pdf):
+    # ---- fast path: encoded blocks shuffle by (term, salt) -----------------
+    fast = (posts.where(F.col("fast") == 1)
+            .repartition(n_parts, "term", "salt")
+            .sortWithinPartitions("term", "salt", "first_doc_id"))
+
+    def reencode_runs(batches):
         import numpy as np
         import pandas as pd
 
-        term = pdf["term"].iloc[0]
-        df_global = int(pdf["df"].iloc[0])
-        n_salts = int(pdf["n_salts"].iloc[0])
-        idf = float(codec.bm25_idf(df_global, n_docs))
-        ids, tfs, nrm = [], [], []
-        for f0, g, t_, nb in zip(pdf["first_doc_id"], pdf["docid_gaps"],
-                                 pdf["tfs_enc"], pdf["norms_enc"]):
-            d, t, n = codec.decode_block(f0, bytes(g), bytes(t_), bytes(nb))
-            ids.append(d); tfs.append(t); nrm.append(n)
-        doc_ids = np.concatenate(ids)
-        tf = np.concatenate(tfs)
-        norms = np.concatenate(nrm)
-        outs = []
-        salts = (doc_ids % n_salts).astype(np.int64)
-        for s in np.unique(salts):
-            m = salts == s
-            rows = codec.encode_blocks(
-                doc_ids[m], tf[m], norms[m], idf, avgdl, k1, b)
-            o = pd.DataFrame(rows)
-            o.insert(0, "term", term)
-            o.insert(1, "salt", int(s))
-            o.insert(2, "bucket", 0)
-            o.insert(3, "df", df_global)
-            outs.append(o)
-        return pd.concat(outs, ignore_index=True)
+        cols = [f.name for f in POSTINGS_SCHEMA.fields]
+        carry: pd.DataFrame | None = None
+
+        def encode_run(g, out):
+            term = g["term"].iat[0]
+            salt = int(g["salt"].iat[0])
+            df_global = int(g["df"].iat[0])
+            idf = float(codec.bm25_idf(df_global, n_docs))
+            ids, tfs, nrm = codec.decode_blocks_concat(
+                g["first_doc_id"].to_numpy(), g["docid_gaps"],
+                g["n_in_block"].to_numpy(), g["tfs_enc"], g["norms_enc"])
+            o = np.argsort(ids, kind="stable")
+            for r in codec.encode_blocks(ids[o], tfs[o], nrm[o],
+                                         idf, avgdl, k1, b):
+                r["term"] = term
+                r["salt"] = salt
+                r["bucket"] = 0
+                r["df"] = df_global
+                out.append(r)
+
+        def flush(pdf, last_partial):
+            terms = pdf["term"].to_numpy()
+            salts = pdf["salt"].to_numpy()
+            change = np.flatnonzero((terms[1:] != terms[:-1])
+                                    | (salts[1:] != salts[:-1])) + 1
+            bounds = np.concatenate(([0], change, [len(pdf)]))
+            stop = len(bounds) - 2 if last_partial else len(bounds) - 1
+            out: list[dict] = []
+            for i in range(stop):
+                encode_run(pdf.iloc[bounds[i]:bounds[i + 1]], out)
+            rest = pdf.iloc[bounds[stop]:].copy() if last_partial else None
+            return out, rest
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            rows, carry = flush(pdf, last_partial=True)
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+        if carry is not None and len(carry):
+            rows, _ = flush(carry, last_partial=False)
+            yield pd.DataFrame(rows, columns=cols)
+
+    fast_posts = fast.mapInPandas(reencode_runs, schema=POSTINGS_SCHEMA)
+
+    # ---- re-salt path: decode to posting grain, reuse the build kernel ----
+    slow = posts.where(F.col("fast") == 0)
+
+    def decode_to_postings(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            counts = pdf["n_in_block"].to_numpy()
+            ids, tfs, nrm = codec.decode_blocks_concat(
+                pdf["first_doc_id"].to_numpy(), pdf["docid_gaps"],
+                counts, pdf["tfs_enc"], pdf["norms_enc"])
+            yield pd.DataFrame({
+                "term": np.repeat(pdf["term"].to_numpy(), counts),
+                "doc_id": ids, "tf": tfs,
+                "dl_byte": nrm.astype(np.int32),
+                "df": np.repeat(pdf["df"].to_numpy(), counts),
+                "n_salts": np.repeat(pdf["n_salts"].to_numpy(), counts)})
+
+    decoded = slow.mapInPandas(
+        decode_to_postings,
+        schema="term string, doc_id long, tf long, dl_byte int, "
+               "df long, n_salts int")
+    slow_sorted = (decoded
+                   .withColumn("salt", F.pmod("doc_id", F.col("n_salts"))
+                               .cast("int"))
+                   .repartition(n_parts, "term", "salt")
+                   .sortWithinPartitions("term", "salt"))
+    slow_posts = slow_sorted.mapInPandas(
+        encode_partition_kernel(n_docs, avgdl, k1, b), schema=POSTINGS_SCHEMA)
 
     postings = (
-        posts.groupBy("term")
-        .applyInPandas(remerge, schema=POSTINGS_SCHEMA)
+        fast_posts.unionByName(slow_posts)
         .withColumn("bucket",
                     F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
     )

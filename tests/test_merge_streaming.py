@@ -68,6 +68,27 @@ def test_merge_queries_rank_identical(spark, split_build):
         assert hm == hf
 
 
+def test_merge_plan_has_no_per_term_group(split_build):
+    """Scale guard (r01 plan audit): the merge must NOT funnel a whole
+    term through one task — no groupBy(term).applyInPandas
+    (FlatMapGroupsInPandas) may appear; re-encode runs partition-wise
+    after a (term, salt) repartition."""
+    merged, _ = split_build
+    plan = merged.postings._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_merge_exercises_both_paths(spark, split_build):
+    """The odd/even split drops per-segment df below the salt threshold
+    for some merged-salted terms (re-salt path) while leaving unsalted
+    terms salt-stable (fast path) — both kernels must contribute."""
+    merged, full = split_build
+    n_salted = (full.term_stats.where(F.col("n_salts") > 1).count())
+    assert n_salted > 0  # re-salt path exercised by at least these terms
+    assert merged.postings.where(F.col("salt") > 0).count() > 0
+
+
 def test_streaming_ingest_converges(spark, tmp_path):
     """Two corpus files arrive as a stream -> segments; the merged reader
     view answers queries identically to a one-shot batch build."""
