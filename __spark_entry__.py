@@ -158,6 +158,7 @@ _NESTED_DSL = {
 }
 _QS_TEXT = "+merge sort -batch lang:en"
 _QS_PHRASE_TEXT = '"merge sort" +value'
+_SQS_TEXT = "merge + sort | window -batch"
 _MM_TEXT, _MM_K, _MM_TB = "merge sort", 10, 0.3
 _MM_BOOSTS = {"title": 2.0}
 #: the synthesized second field for multi_match: first 80 chars of text
@@ -250,6 +251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda: pplan.parse_query_string(_QS_TEXT), 10)
     out["q_qs_phrase"] = _tree_query(
         lambda: pplan.parse_query_string(_QS_PHRASE_TEXT), 10)
+    out["q_simple_query_string"] = _tree_query(
+        lambda: pplan.parse_simple_query_string(_SQS_TEXT), 10)
     out["q_multi_match"] = _multi_match
     for mod in _registries():
         for name, entry in mod.REGISTRY.items():
@@ -276,6 +279,8 @@ def oracle_sql() -> dict[str, str]:
         pplan.parse_query_string(_QS_TEXT), 10)
     out["q_qs_phrase"] = osql.tree_sql(
         pplan.parse_query_string(_QS_PHRASE_TEXT), 10)
+    out["q_simple_query_string"] = osql.tree_sql(
+        pplan.parse_simple_query_string(_SQS_TEXT), 10)
     out["q_multi_match"] = osql.multi_match_sql(
         _MM_TEXT, _MM_FIELDS_SQL, _MM_K, "best_fields", _MM_TB, _MM_BOOSTS)
     for mod in _registries():

@@ -103,6 +103,22 @@ def main() -> None:
         pexec.search(index, text, k=k, mode=mode).collect()
         per_query[name] = round(time.time() - tq, 4)
 
+    # count-only path (decodes doc ids, no scoring — must beat the scored
+    # queries; r01 finding #6)
+    for name, text, _k, mode in (("q_count_or", queries[2][1], 0, "or"),
+                                 ("q_count_and", queries[3][1], 0, "and")):
+        tq = time.time()
+        pexec.count_matches(index, text, mode=mode)
+        per_query[name] = round(time.time() - tq, 4)
+
+    # batch API: all scored queries as ONE Spark job (the deployment shape —
+    # per-query cost amortizes the job-scheduling floor)
+    tb = time.time()
+    batch = [pexec.Query(i, pexec.analysis.analyze(text), k, mode)
+             for i, (name, text, k, mode) in enumerate(queries)]
+    pexec.search_many(index, batch).collect()
+    batch_sec = round(time.time() - tb, 4)
+
     total = round(build_sec + sum(per_query.values()), 4)
     lat = sorted(per_query.values())
     out = {
@@ -115,6 +131,8 @@ def main() -> None:
         "build_sec": round(build_sec, 4),
         "docs_per_sec": round(n_docs / build_sec, 2) if build_sec else None,
         "query_p50_sec": lat[len(lat) // 2] if lat else None,
+        "batch_7q_sec": batch_sec,
+        "batch_per_query_sec": round(batch_sec / len(queries), 4),
         "cpus": cpus,
         "synthetic_docs": synth_docs or None,
     }

@@ -85,6 +85,28 @@ def ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_id"))
 
 
+@_reg("reindex", """
+SELECT CAST(count(*) AS BIGINT) AS n_reindexed,
+       count(DISTINCT etype) AS n_types FROM (
+  SELECT upper(event_type) AS etype FROM events WHERE value > 50)""")
+def reindex_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered reindex round-trip: filter + transform events into a
+    scratch parquet table, read it back and summarize — verifying the
+    write→read path, not just the transform plan."""
+    import tempfile
+
+    dst = tempfile.mkdtemp(prefix="pysearch_reindex_")
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    reindex(spark, src, dst,
+            processors=[{"uppercase": {"field": "event_type"}},
+                        {"rename": {"field": "event_type",
+                                    "target_field": "etype"}}],
+            where="value > 50")
+    back = spark.read.parquet(dst)
+    return back.agg(F.count("*").alias("n_reindexed"),
+                    F.count_distinct("etype").alias("n_types"))
+
+
 def reindex(spark: SparkSession, src_dir: str, dst_dir: str,
             processors: list[Processor] | None = None,
             where: str | None = None) -> int:

@@ -220,6 +220,53 @@ def parse_query_string(qs: str) -> BoolNode:
     return node
 
 
+_SQS_TOKEN = _re.compile(r'"[^"]*"|[^\s+|]+|\+|\|')
+
+
+def parse_simple_query_string(qs: str) -> BoolNode:
+    """`simple_query_string` (SimpleQueryStringQueryBuilder.java /
+    [lucene dep] SimpleQueryParser): infix operators instead of
+    query_string's prefixes — `+` is AND, `|` is OR, `-term` negates,
+    quotes make phrases. AND binds tighter than OR; no parentheses
+    (ES's () precedence is not implemented — documented subset). Bare
+    whitespace joins like `+` — i.e. the default_operator=AND flavor.
+
+    'a + b | c -d' → should( bool(must=a,b), bool(must=c, must_not=d) ).
+    """
+    toks = _SQS_TOKEN.findall(qs or "")
+    groups: list[list[str]] = [[]]
+    for t in toks:
+        if t == "|":
+            groups.append([])
+        elif t == "+":
+            continue  # AND is the in-group default joiner
+        else:
+            groups[-1].append(t)
+
+    def leaf(t: str):
+        if t.startswith('"') and t.endswith('"'):
+            return PhraseNode(terms=analysis.analyze(t.strip('"')))
+        n = MatchNode(terms=analysis.analyze(t))
+        return n if n.terms else None
+
+    outer = BoolNode()
+    for g in groups:
+        sub = BoolNode()
+        for t in g:
+            if t.startswith("-"):
+                lf = leaf(t[1:])
+                if lf:
+                    sub.must_not.append(lf)
+            else:
+                lf = leaf(t)
+                if lf:
+                    sub.must.append(lf)
+        if sub.must or sub.must_not:
+            outer.should.append(sub)
+    outer.minimum_should_match = 1 if outer.should else None
+    return outer
+
+
 def parse_dsl(dsl: dict, k: int = 10) -> BoolPlan:
     """ES-search-DSL dict -> BoolPlan."""
     (kind, body), = dsl.items()

@@ -703,6 +703,53 @@ def agg_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# parent-child joins — ES parent-join module (modules/parent-join/…/
+# HasChildQueryBuilder.java, HasParentQueryBuilder.java). ES restricts
+# these to a join field inside ONE index (Lucene block-join); on Spark
+# they are ordinary aggregation-join plans — users are the parents,
+# events the children.
+# ---------------------------------------------------------------------------
+
+@_reg("q_has_child", """
+SELECT user_id, round(mx, 4) AS score FROM (
+  SELECT user_id, max(value) AS mx
+  FROM events WHERE event_type = 'purchase' AND value > 300
+  GROUP BY user_id)
+ORDER BY mx DESC, user_id ASC LIMIT 10""")
+def q_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """has_child (score_mode=max): parents with >=1 child matching the
+    predicate; parent score = max matching-child score. One partial-agg
+    shuffle on the join key — no block-join needed."""
+    ev = tbl(spark, sf_dir, "events")
+    hits = (ev.where((F.col("event_type") == "purchase") & (F.col("value") > 300))
+            .groupBy("user_id").agg(F.max("value").alias("mx")))
+    return (hits.orderBy(F.desc("mx"), F.asc("user_id")).limit(10)
+            .select("user_id", F.round("mx", 4).alias("score")))
+
+
+@_reg("q_has_parent", """
+WITH big AS (
+  SELECT user_id FROM events
+  GROUP BY user_id
+  HAVING CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) > 5000)
+SELECT e.event_id, e.user_id, e.event_type FROM events e
+JOIN big USING (user_id)
+WHERE e.event_type = 'click'
+ORDER BY e.event_id LIMIT 20""")
+def q_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """has_parent: children whose parent satisfies a (here: aggregate)
+    predicate — parent set is computed once and broadcast into a
+    semi-join against the child table."""
+    ev = tbl(spark, sf_dir, "events")
+    big = (ev.groupBy("user_id").agg(_money_sum("value").alias("spend"))
+           .where(F.col("spend") > 5000).select("user_id"))
+    return (ev.join(F.broadcast(big), "user_id")
+            .where(F.col("event_type") == "click")
+            .select("event_id", "user_id", "event_type")
+            .orderBy("event_id").limit(20))
+
+
+# ---------------------------------------------------------------------------
 # §2.7 sort / pagination / collapse / set ops
 # ---------------------------------------------------------------------------
 
