@@ -82,7 +82,7 @@ def _registries():
 
     mods = []
     for m in ("relational", "dedup", "similarity", "textstats", "multimodal",
-              "phrase", "ingest", "analysis_ext", "search_ext"):
+              "phrase", "ingest", "analysis_ext", "search_ext", "streaming"):
         try:
             mods.append(importlib.import_module(f"pysearch.{m}"))
         except ImportError:

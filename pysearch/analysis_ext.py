@@ -312,6 +312,24 @@ def analyze_asciifolding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract_all(folded, F.lit("[a-z0-9]+"), F.lit(0))).alias("term"))
 
 
+@_reg("analyze_shingle", f"""
+WITH t AS (SELECT {analysis.duckdb_tokens_nostop_expr("'" + _ANALYZE_SAMPLE + "'")} AS a)
+SELECT CAST(i - 1 AS INT) AS pos,
+       a[CAST(i AS INT)] || ' ' || a[CAST(i + 1 AS INT)] AS shingle
+FROM t, unnest(range(1, len(a))) AS u(i)
+ORDER BY pos""")
+def analyze_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shingle token filter: word 2-shingles with positions (analysis-common
+    ShingleTokenFilterFactory / [lucene dep] ShingleFilter)."""
+    one = spark.createDataFrame([(_ANALYZE_SAMPLE,)], "txt string")
+    arr = analysis.tokens_expr(F.col("txt"))
+    sh = F.zip_with(F.slice(arr, 1, F.size(arr) - 1),
+                    F.slice(arr, 2, F.size(arr) - 1),
+                    lambda a, b: F.concat_ws(" ", a, b))
+    return (one.select(F.posexplode(sh).alias("pos", "shingle"))
+            .orderBy("pos"))
+
+
 _SYN_CASE = "CASE term " + " ".join(
     f"WHEN '{k}' THEN '{v}'" for k, v in sorted(SYNONYMS.items())) + " ELSE term END"
 

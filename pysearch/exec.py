@@ -49,6 +49,7 @@ HIT_SCHEMA = T.StructType([
 ])
 
 GATHER_MAX_POSTINGS = 2_000_000  # est. candidate postings above which we go distributed
+TERM_DICT_CACHE_MAX = 200_000    # full term-dict driver cache below this vocab size
 
 
 @dataclass
@@ -229,20 +230,31 @@ def term_meta(index: Index, terms: list[str]) -> dict[str, tuple[int, int]]:
     meta is serialized into manifest.json by write_index and shallow-copied
     by merge_indexes, so a meta-resident cache would leak stale negative
     entries ((0,-1) for absent terms) across merges/loads and silently
-    drop those terms' buckets from the candidate IN-list."""
+    drop those terms' buckets from the candidate IN-list.
+
+    Small indexes load the ENTIRE term dictionary on first touch (one job
+    instead of one per new query's term set — halves the per-query job
+    count); past TERM_DICT_CACHE_MAX terms, per-term lazy lookups."""
     cache = index.__dict__.setdefault("_term_cache", {})
     missing = [t for t in terms if t not in cache]
-    if missing:
-        rows = (
-            index.term_stats.where(F.col("term").isin(missing))
-            .select("term", "df",
-                    F.pmod(F.xxhash64("term"), F.lit(index.n_buckets))
-                    .cast("int").alias("bucket"))
-            .collect())
-        for r in rows:
-            cache[r["term"]] = (int(r["df"]), int(r["bucket"]))
-        for t in missing:
-            cache.setdefault(t, (0, -1))  # absent from the index
+    if missing and not index.__dict__.get("_term_cache_full"):
+        sel = index.term_stats.select(
+            "term", "df",
+            F.pmod(F.xxhash64("term"), F.lit(index.n_buckets))
+            .cast("int").alias("bucket"))
+        n_terms = index.__dict__.get("_n_terms")
+        if n_terms is None:
+            n_terms = index.term_stats.count()
+            index.__dict__["_n_terms"] = n_terms
+        if n_terms <= TERM_DICT_CACHE_MAX:
+            for r in sel.collect():
+                cache[r["term"]] = (int(r["df"]), int(r["bucket"]))
+            index.__dict__["_term_cache_full"] = True
+        else:
+            for r in sel.where(F.col("term").isin(missing)).collect():
+                cache[r["term"]] = (int(r["df"]), int(r["bucket"]))
+    for t in terms:
+        cache.setdefault(t, (0, -1))  # absent from the index
     return {t: cache[t] for t in terms}
 
 
@@ -686,6 +698,33 @@ def count_matches(index: Index, text_or_terms, mode: str = "or") -> int:
     if not uniq:
         return 0
     q = Query(0, uniq, k=1, mode=mode)
+
+    # selective queries: collect the (already tiny) gap columns straight
+    # to the driver — one narrow scan job, no shuffle, no Python workers
+    if _estimate_postings(index, [q]) <= LOCAL_MAX_POSTINGS:
+        rows = _candidates(index, [q]).select(
+            "term", "first_doc_id", "docid_gaps", "n_in_block").collect()
+        per_term: dict[str, list] = {}
+        for r in rows:
+            per_term.setdefault(r["term"], []).append(r)
+        sets = []
+        for t, rs in per_term.items():
+            ids, _, _ = codec.decode_blocks_concat(
+                [r["first_doc_id"] for r in rs],
+                [r["docid_gaps"] for r in rs],
+                [r["n_in_block"] for r in rs])
+            sets.append(ids)
+        if not sets:
+            return 0
+        if mode == "and":
+            if len(per_term) < len(uniq):
+                return 0
+            acc = sets[0]
+            for s in sets[1:]:
+                acc = np.intersect1d(acc, s, assume_unique=True)
+            return int(len(acc))
+        return int(len(np.unique(np.concatenate(sets))))
+
     cand = _candidates(index, [q]).select(
         "term", "first_doc_id", "docid_gaps", "n_in_block")
 

@@ -311,6 +311,24 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_quantity", F.lit(0.95)), 4).alias("p95"))
 
 
+@_reg("agg_percentile_ranks", """
+SELECT round(100.0 * count(*) FILTER (WHERE l_quantity <= 10) / count(*), 4)
+         AS rank_10,
+       round(100.0 * count(*) FILTER (WHERE l_quantity <= 25) / count(*), 4)
+         AS rank_25
+FROM lineitem""")
+def agg_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PercentileRanksAggregator: the inverse of percentiles — the percent
+    of values at or below each given point (exact; ES uses t-digest)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    n = F.count("*")
+    return li.agg(
+        F.round(100.0 * F.count_if(F.col("l_quantity") <= 10) / n, 4)
+        .alias("rank_10"),
+        F.round(100.0 * F.count_if(F.col("l_quantity") <= 25) / n, 4)
+        .alias("rank_25"))
+
+
 @_reg("agg_top_hits", """
 SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
   SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,

@@ -203,3 +203,94 @@ def suggest_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (vocab.withColumn("dist", dist)
             .where(F.col("dist") <= SUGGEST_MAX_DIST)
             .orderBy(F.asc("dist"), F.desc("df"), F.asc("term")).limit(5))
+
+
+# ---------------------------------------------------------------------------
+# explain + termvectors APIs (round 2)
+# ---------------------------------------------------------------------------
+
+EXPLAIN_TERM = "merge"
+TV_DOC_ID = 7
+
+
+def _explain_sql() -> str:
+    from . import oracle_sql as osql
+
+    dlq = codec.duckdb_dlq_expr("dl.dl")
+    k1, b = analysis.K1, analysis.B
+    return f"""
+WITH {osql.corpus_ctes()},
+tf AS (
+  SELECT doc_id, count(*)::BIGINT AS tf FROM tok2
+  WHERE term = '{EXPLAIN_TERM}' GROUP BY doc_id
+),
+x AS (
+  SELECT tf.doc_id, tf.tf, dl.dl, {dlq} AS dlq,
+         ln(1 + (s.n - (SELECT count(*) FROM tf) + 0.5)
+              / ((SELECT count(*) FROM tf) + 0.5)) AS idf,
+         tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {dlq} / s.avgdl)) AS tfw
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+)
+SELECT doc_id, tf, dl, CAST(dlq AS BIGINT) AS dlq,
+       round(idf, 4) AS idf, round(tfw, 4) AS tfw,
+       round(idf * tfw, 4) AS score
+FROM x ORDER BY idf * tfw DESC, doc_id ASC LIMIT 3"""
+
+
+@_reg("q_explain", _explain_sql())
+def q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`_explain` API analog ([lucene dep] BM25Similarity#explain /
+    TransportExplainAction): the full per-doc score breakdown — tf, raw
+    dl, SmallFloat-quantized dlq, idf, tf weight, final BM25 — for one
+    term, top 3 docs. Cross-engine check: Spark evaluates
+    codec.spark_dlq_sql while the oracle evaluates codec.duckdb_dlq_expr
+    (independent formulations of the same quantizer)."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = analysis.tokens_expr(F.col("text"))
+    base = d.select("doc_id", toks.alias("t"))
+    tf = (base.select("doc_id", F.explode("t").alias("term"))
+          .where(F.col("term") == EXPLAIN_TERM)
+          .groupBy("doc_id").agg(F.count("*").alias("tf")))
+    dl = base.select("doc_id", F.size("t").cast("long").alias("dl"))
+    stats = base.agg(
+        F.count("*").alias("n"),
+        (F.sum(F.size("t")) / F.count("*")).alias("avgdl"))
+    dft = tf.agg(F.count("*").alias("df_t"))
+    x = (tf.join(dl, "doc_id").crossJoin(F.broadcast(stats))
+         .crossJoin(F.broadcast(dft))
+         .withColumn("dlq", F.expr(codec.spark_dlq_sql("dl")).cast("long"))
+         .withColumn("idf", F.log(
+             1 + (F.col("n") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)))
+         .withColumn("tfw", F.col("tf") / (
+             F.col("tf") + analysis.K1
+             * (1 - analysis.B + analysis.B * F.col("dlq") / F.col("avgdl")))))
+    return (x.orderBy(F.desc(F.col("idf") * F.col("tfw")), F.asc("doc_id"))
+            .limit(3)
+            .select("doc_id", "tf", "dl", "dlq",
+                    F.round("idf", 4).alias("idf"),
+                    F.round("tfw", 4).alias("tfw"),
+                    F.round(F.col("idf") * F.col("tfw"), 4).alias("score")))
+
+
+@_reg("termvectors", f"""
+WITH t AS (
+  SELECT {analysis.duckdb_tokens_nostop_expr('text')} AS a
+  FROM documents WHERE doc_id = {TV_DOC_ID}
+),
+pos AS (
+  SELECT a[CAST(i AS INT)] AS term, CAST(i - 1 AS INT) AS p
+  FROM t, unnest(range(1, len(a) + 1)) AS u(i)
+)
+SELECT term, count(*)::BIGINT AS tf, CAST(min(p) AS INT) AS first_pos
+FROM pos GROUP BY term ORDER BY term""")
+def termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`_termvectors` API: per-document term vector — (term, tf,
+    first position) over the analyzed stream of one doc
+    (action/termvectors/TransportTermVectorsAction.java)."""
+    d = tbl(spark, sf_dir, "documents").where(F.col("doc_id") == TV_DOC_ID)
+    pos = d.select(F.posexplode(analysis.tokens_expr(F.col("text")))
+                   .alias("p", "term"))
+    return (pos.groupBy("term")
+            .agg(F.count("*").alias("tf"),
+                 F.min("p").cast("int").alias("first_pos"))
+            .orderBy("term"))

@@ -64,3 +64,66 @@ def load_segments(spark: SparkSession, out_dir: str) -> list[pbuild.Index]:
 def searchable_index(spark: SparkSession, out_dir: str) -> pbuild.Index:
     """The reader view over all committed segments (refresh analog)."""
     return pmerge.merge_indexes(spark, load_segments(spark, out_dir))
+
+
+# ---------------------------------------------------------------------------
+# driver-contract key: streaming segments == batch truth
+# ---------------------------------------------------------------------------
+
+from .registry import Entry  # noqa: E402
+
+REGISTRY: dict[str, Entry] = {}
+
+_STREAM_Q = "merge"
+
+
+def streaming_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end NRT story as one driver key: the corpus arrives as TWO
+    parquet files consumed by maxFilesPerTrigger=1 micro-batches (each
+    commits an immutable segment), the reader view merges the segments,
+    and the merged index answers a BM25 top-k. Strong oracle: the same
+    bm25_topk_sql the batch path uses — streaming ingest + merge must
+    reproduce batch truth exactly."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from . import exec as pexec
+    from . import oracle_sql as osql
+
+    src = tempfile.mkdtemp(prefix="ps_stream_src_")
+    out = tempfile.mkdtemp(prefix="ps_stream_out_")
+    corpus = pbuild.corpus_from_documents(spark, sf_dir)
+    for parity in (0, 1):
+        (corpus.where(F.pmod("doc_id", F.lit(2)) == parity).coalesce(1)
+         .write.mode("append").parquet(src))
+    stream = (spark.readStream.schema(CORPUS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+
+    def commit_segment(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        idx = pbuild.build_index(spark, batch_df, n_buckets=8,
+                                 salt_threshold=64, n_salts=4)
+        pbuild.write_index(idx, os.path.join(out, f"seg-{batch_id:05d}"))
+
+    q = (stream.writeStream.foreachBatch(commit_segment)
+         .option("checkpointLocation", os.path.join(out, "_checkpoint"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+    idx = searchable_index(spark, out)
+    hits = pexec.search(idx, _STREAM_Q, k=10)
+    return hits.select("doc_id",
+                       F.round("score", osql.ROUND_DIGITS).alias("score"))
+
+
+def _stream_sql() -> str:
+    from . import oracle_sql as osql
+
+    return osql.bm25_topk_sql(_STREAM_Q, 10)
+
+
+REGISTRY["streaming_ingest_topk"] = Entry(fn=streaming_ingest_topk,
+                                          sql=_stream_sql())
