@@ -185,6 +185,28 @@ def _field_indexes_for(spark: SparkSession, sf_dir: str):
     return {"content": _index_for(spark, sf_dir), "title": _INDEX_CACHE[key]}
 
 
+def _boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index_for(spark, sf_dir)
+    hits = pexec.search_boosting(idx, "merge sort", "batch",
+                                 negative_boost=0.4, k=10)
+    return hits.select(
+        "doc_id", F.round("score", osql.ROUND_DIGITS).alias("score"))
+
+
+def _index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_stats / _cat-indices analog: segment statistics read from the
+    INDEX's own tables, cross-checked by an oracle that re-derives them
+    from the raw corpus."""
+    idx = _index_for(spark, sf_dir)
+    n_terms = idx.term_stats.count()
+    n_postings = idx.postings.agg(
+        F.coalesce(F.sum("n_in_block"), F.lit(0))).collect()[0][0]
+    return spark.createDataFrame(
+        [(idx.stats.n_docs, int(n_terms), int(n_postings),
+          round(idx.stats.avgdl, 4))],
+        "n_docs long, n_terms long, n_postings long, avgdl double")
+
+
 def _multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     fidx = _field_indexes_for(spark, sf_dir)
     hits = pexec.search_multi_match(
@@ -254,6 +276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q_simple_query_string"] = _tree_query(
         lambda: pplan.parse_simple_query_string(_SQS_TEXT), 10)
     out["q_multi_match"] = _multi_match
+    out["q_boosting"] = _boosting
+    out["index_stats"] = _index_stats
     for mod in _registries():
         for name, entry in mod.REGISTRY.items():
             out[name] = entry.fn
@@ -281,6 +305,8 @@ def oracle_sql() -> dict[str, str]:
         pplan.parse_query_string(_QS_PHRASE_TEXT), 10)
     out["q_simple_query_string"] = osql.tree_sql(
         pplan.parse_simple_query_string(_SQS_TEXT), 10)
+    out["q_boosting"] = osql.boosting_sql("merge sort", "batch", 0.4, 10)
+    out["index_stats"] = osql.index_stats_sql()
     out["q_multi_match"] = osql.multi_match_sql(
         _MM_TEXT, _MM_FIELDS_SQL, _MM_K, "best_fields", _MM_TB, _MM_BOOSTS)
     for mod in _registries():

@@ -686,6 +686,32 @@ def search_multi_match(field_indexes: dict[str, "Index"],
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
 
+def search_boosting(index: Index, positive: str, negative: str,
+                    negative_boost: float = 0.5, k: int = 10) -> DataFrame:
+    """boosting query (index/query/BoostingQueryBuilder.java): candidates
+    and scores come from the positive query; docs that ALSO match the
+    negative query keep their score × negative_boost (demotion, not
+    exclusion — the difference from bool.must_not)."""
+    pos_terms = sorted(set(analysis.analyze(positive)))
+    neg_terms = sorted(set(analysis.analyze(negative)))
+    spark = index.postings.sparkSession
+    if not pos_terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    pos = (_per_term_scored(index, pos_terms)
+           .groupBy("doc_id").agg(F.sum("score").alias("score")))
+    if neg_terms:
+        neg = (_per_term_scored(index, neg_terms)
+               .select("doc_id").distinct()
+               .withColumn("neg", F.lit(1)))
+        pos = (pos.join(neg, "doc_id", "left")
+               .withColumn("score",
+                           F.when(F.col("neg") == 1,
+                                  F.col("score") * negative_boost)
+                           .otherwise(F.col("score")))
+               .drop("neg"))
+    return (pos.orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
 def count_matches(index: Index, text_or_terms, mode: str = "or") -> int:
     """_count analog ([lucene dep] TotalHitCountCollector): decodes docID
     gaps ONLY — no tf/norm decode and no BM25 arithmetic (r01 perf

@@ -378,6 +378,45 @@ topk AS (
 SELECT doc_id, round(score_raw, {ROUND_DIGITS}) AS score FROM topk"""
 
 
+def boosting_sql(positive: str, negative: str, negative_boost: float,
+                 k: int, table: str = "documents") -> str:
+    """Oracle for the boosting query: positive BM25 scores, demoted by
+    ×negative_boost where the doc also matches the negative terms."""
+    pos_terms = sorted(set(analysis.analyze(positive)))
+    neg_terms = sorted(set(analysis.analyze(negative)))
+    frag, _ = _scored_ctes(" ".join(pos_terms + neg_terms), table)
+    pos_in = ", ".join(_quote(t) for t in pos_terms)
+    neg_in = ", ".join(_quote(t) for t in neg_terms) or "''"
+    return f"""
+WITH {frag},
+pos AS (
+  SELECT doc_id, sum(contrib) AS score FROM scored
+  WHERE term IN ({pos_in}) GROUP BY doc_id),
+neg AS (SELECT DISTINCT doc_id FROM scored WHERE term IN ({neg_in})),
+demoted AS (
+  SELECT p.doc_id,
+         CASE WHEN n.doc_id IS NOT NULL
+              THEN p.score * {negative_boost} ELSE p.score END AS score_raw
+  FROM pos p LEFT JOIN neg n ON p.doc_id = n.doc_id),
+topk AS (
+  SELECT doc_id, score_raw FROM demoted
+  ORDER BY score_raw DESC, doc_id ASC LIMIT {k})
+SELECT doc_id, round(score_raw, {ROUND_DIGITS}) AS score FROM topk"""
+
+
+def index_stats_sql(table: str = "documents") -> str:
+    """Oracle for index_stats: re-derive the segment statistics straight
+    from the corpus — cross-checks the INDEX's own tables (docs/term_stats/
+    postings) against ground truth."""
+    return f"""
+WITH {corpus_ctes(table)},
+tf AS (SELECT doc_id, term FROM tok2 GROUP BY doc_id, term)
+SELECT (SELECT count(*) FROM {table})::BIGINT AS n_docs,
+       (SELECT count(DISTINCT term) FROM tok2)::BIGINT AS n_terms,
+       (SELECT count(*) FROM tf)::BIGINT AS n_postings,
+       (SELECT round(avgdl, 4) FROM stats) AS avgdl"""
+
+
 def count_sql(query_text: str, mode: str = "or", table: str = "documents") -> str:
     terms = analysis.analyze(query_text)
     if not terms:

@@ -77,6 +77,37 @@ WHERE a.term = '{t0}' AND b.term = '{t1}'
 GROUP BY a.doc_id ORDER BY a.doc_id"""
 
 
+def _phrase_prefix(t0: str, prefix: str):
+    """match_phrase_prefix (MatchPhrasePrefixQueryBuilder.java): the last
+    position holds a PREFIX match over the terms dictionary — the
+    search-as-you-type query. Expressed as the positional pair join with
+    startswith on the trailing leg."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        p = positions(spark, sf_dir)
+        a = p.where(F.col("term") == t0).alias("a")
+        b = p.where(F.col("term").startswith(prefix)).alias("b")
+        return (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                       & (F.col("b.pos") == F.col("a.pos") + 1))
+                .groupBy(F.col("a.doc_id").alias("doc_id"))
+                .agg(F.count("*").alias("n_occurrences"))
+                .orderBy("doc_id"))
+    return run
+
+
+def _phrase_prefix_sql(t0: str, prefix: str) -> str:
+    return f"""
+WITH {_POS_CTE}
+SELECT a.doc_id, count(*) AS n_occurrences
+FROM pos a JOIN pos b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = '{t0}' AND b.term LIKE '{prefix}%'
+GROUP BY a.doc_id ORDER BY a.doc_id"""
+
+
+REGISTRY["q_phrase_prefix"] = Entry(
+    fn=_phrase_prefix("merge", "so"),
+    sql=_phrase_prefix_sql("merge", "so"))
+
 REGISTRY["q_phrase"] = Entry(
     fn=_phrase_pair("merge", "sort", slop=0),
     sql=_phrase_pair_sql("merge", "sort", slop=0))

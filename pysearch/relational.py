@@ -720,6 +720,37 @@ def agg_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("partial") / 10000.0, 4).alias("sum_sq_discount"))
 
 
+@_reg("agg_nested", """
+WITH nested AS (
+  SELECT user_id, event_type, value FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
+FROM nested WHERE value > 200
+GROUP BY event_type ORDER BY event_type""")
+def agg_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nested aggregation (bucket/nested/NestedAggregator.java): aggregate
+    over nested sub-documents, here materialized as a real array<struct>
+    per parent and exploded back — the Spark shape of ES's nested-doc
+    block traversal (reverse_nested ≙ the count(DISTINCT parent))."""
+    ev = tbl(spark, sf_dir, "events")
+    parents = (ev.groupBy("user_id")
+               .agg(F.collect_list(F.struct("event_type", "value"))
+                    .alias("events")))
+    flat = parents.select(
+        "user_id", F.explode("events").alias("e")).select(
+        "user_id", F.col("e.event_type").alias("event_type"),
+        F.col("e.value").alias("value"))
+    return (flat.where(F.col("value") > 200)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.count_distinct("user_id").alias("n_users"),
+                 F.round(_money_sum("value"), 2).alias("total"))
+            .orderBy("event_type"))
+
+
 # ---------------------------------------------------------------------------
 # parent-child joins — ES parent-join module (modules/parent-join/…/
 # HasChildQueryBuilder.java, HasParentQueryBuilder.java). ES restricts
