@@ -35,12 +35,16 @@ def get_spark(cores: int | None = None, app: str = "pysearch",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
-    # single-machine harness: shuffle through tmpfs, skip compression
-    # (cluster deployments shuffle over network + disk and want both back)
+    # single-machine harness: shuffle through tmpfs. Compression default
+    # stays off there (CPU for zero I/O win on tmpfs), overridable with
+    # PYSEARCH_SHUFFLE_COMPRESS=1 to measure the cluster-default config
+    # (network/disk shuffles always compress).
     if os.path.isdir("/dev/shm") and os.environ.get(
             "PYSEARCH_SHM_SHUFFLE", "1") != "0":
+        comp = ("true" if os.environ.get("PYSEARCH_SHUFFLE_COMPRESS", "0") == "1"
+                else "false")
         builder = (builder
                    .config("spark.local.dir", "/dev/shm/spark")
-                   .config("spark.shuffle.compress", "false")
-                   .config("spark.shuffle.spill.compress", "false"))
+                   .config("spark.shuffle.compress", comp)
+                   .config("spark.shuffle.spill.compress", comp))
     return builder.getOrCreate()
