@@ -174,3 +174,16 @@ def test_count_matches_or_and(spark, tree_index, oracle_index):
     so = set(_exhaustive_bm25(oracle_index, ["sort"]))
     assert pexec.count_matches(tree_index, "merge sort") == len(ms | so)
     assert pexec.count_matches(tree_index, "merge sort", mode="and") == len(ms & so)
+
+
+def test_check_first_keys_all_registered():
+    """_CHECK_FIRST is coverage policy (driver checks the first ~50 keys):
+    a typo there would silently demote an operator out of verification."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    missing = [k for k in em._CHECK_FIRST if k not in qs]
+    assert not missing, missing
+    # every priority key with an oracle must actually be in oracle_sql too
+    sqls = em.oracle_sql()
+    assert set(em._CHECK_FIRST) - set(sqls) <= {"agg_cardinality_approx"}
