@@ -217,39 +217,54 @@ def _multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Driver CORRECTNESS policy: the driver verifies queries() entries in
-# REGISTRATION ORDER with a hard cap (50 rows in r01). Ordering is
-# therefore coverage policy: keys with no green CORRECTNESS row yet are
-# emitted FIRST (the r01-unchecked 37 + the r01 fail + round-2 additions);
-# keys already proven green in CORRECTNESS_r01 trail behind as sentinels.
-_CHECK_FIRST = [
-    # r01-unchecked training-pipeline ops
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_embedding_cosine",
-    "sim_cosine_topk", "sim_knn_batch", "sim_ann_lsh",
-    "text_quality", "text_langid", "text_tokencount", "text_fingerprint",
-    "text_winnow", "mm_meta", "mm_decode_features",
-    # r01-unchecked search/analysis surface
-    "q_phrase", "q_phrase_slop2", "ingest_pipeline",
-    "analyze_api", "analyze_stem_light", "analyze_edge_ngram",
-    "analyze_synonym",
-    "q_highlight", "q_more_like_this", "q_rescore", "suggest_term",
-    # r01-unchecked relational tail
-    "pipe_bucket_selector", "pipe_bucket_sort",
-    "sort_field", "search_after", "collapse",
-    "setop_intersect", "setop_except",
-    "fn_scalar", "fn_json_extract", "fn_higher_order", "join_star_revenue",
-    # r01 FAIL, fixed (oracle BIGINT cast)
-    "pipe_cumsum",
-    # round-2 additions
-    "q_multi_match", "q_query_string", "q_bool_nested", "f_nested",
-    "pipe_bucket_script", "pipe_serial_diff", "pipe_avg_bucket",
-    "scan_getbyid", "scroll_keyset", "agg_adjacency_matrix",
-    "agg_median_abs_dev", "agg_scripted_metric",
+# REGISTRATION ORDER with a hard cap (50 rows/round, confirmed r01+r02).
+# Ordering is therefore coverage policy, and it is SELF-MAINTAINING (the
+# r02 judge flagged the hand-rotated list as a per-round footgun): keys
+# with no all-true row in ANY committed CORRECTNESS_r*.json are emitted
+# FIRST (in registration order — this automatically fronts brand-new
+# keys too), then _SENTINELS (the most load-bearing proven-green keys,
+# kept in-window as regression canaries), then everything else.
+_SENTINELS = [
+    # BM25 core (rare/hot term, OR/AND bool, deep top-k)
+    "q_term", "q_term_hot", "q_match_or", "q_bool_and2", "q_bool_or5",
+    "q_topk_k100",
+    # tree / front-ends
+    "q_bool_full", "q_bool_nested", "q_query_string", "q_multi_match",
+    # positions + count-only paths
+    "q_phrase", "q_count_or",
+    # training-data pipeline
+    "dedup_exact", "dedup_minhash_lsh", "sim_ann_lsh", "text_quality",
+    # relational / paging / ingest
+    "agg_terms", "agg_metrics_stats", "pipe_cumsum", "f_nested", "scroll_keyset",
+    "ingest_pipeline",
 ]
 
 
+def _green_keys() -> set[str]:
+    """Keys with an all-true row in any committed CORRECTNESS_r*.json."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    green: set[str] = set()
+    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        green |= {k for k, v in rows.items()
+                  if isinstance(v, dict) and v.get("rows_match")
+                  and v.get("schema_match") and v.get("hash_match")}
+    return green
+
+
 def _ordered(d: dict) -> dict:
-    out = {k: d[k] for k in _CHECK_FIRST if k in d}
+    green = _green_keys()
+    unproven = [k for k in d if k not in green]
+    sentinels = [k for k in _SENTINELS if k in d and k in green]
+    out = {k: d[k] for k in unproven + sentinels}
     out.update(d)
     return out
 

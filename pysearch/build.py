@@ -112,6 +112,13 @@ def with_doc_ids(corpus: DataFrame, n_parts: int | None = None) -> DataFrame:
          the broadcast per-partition offset.
     Range partitions carry ascending key ranges in ascending partition-id
     order, so within-partition rank + offset IS the global dense rank.
+
+    Cache ownership (r02 advice): the persisted range-partitioned corpus
+    MUST outlive every consumer of the returned doc_ids (re-computation
+    would re-sample range boundaries and could permute ids). The cached
+    DataFrame is exposed as ``out._pysearch_cached``; the caller unpersists
+    it once the ids are materialized downstream (cli.cmd_build does, after
+    write_index commits).
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
@@ -131,10 +138,12 @@ def with_doc_ids(corpus: DataFrame, n_parts: int | None = None) -> DataFrame:
     odf = F.broadcast(spark.createDataFrame(
         sorted(offsets.items()), "_pid int, _off long"))
     w = Window.partitionBy("_pid").orderBy("repo", "path", "commit")
-    return (part.join(odf, "_pid")
-            .withColumn("doc_id",
-                        F.row_number().over(w).cast("long") + F.col("_off") - 1)
-            .drop("_pid", "_off"))
+    out = (part.join(odf, "_pid")
+           .withColumn("doc_id",
+                       F.row_number().over(w).cast("long") + F.col("_off") - 1)
+           .drop("_pid", "_off"))
+    out._pysearch_cached = part
+    return out
 
 
 def tokenize(corpus: DataFrame, tokenizer: str = "native") -> DataFrame:

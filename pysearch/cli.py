@@ -45,6 +45,9 @@ def cmd_build(args) -> None:
         spark, corpus, n_buckets=args.buckets,
         salt_threshold=args.salt_threshold, n_salts=args.salts)
     manifest = pbuild.write_index(idx, args.out, resume=not args.no_resume)
+    cached = getattr(corpus, "_pysearch_cached", None)
+    if cached is not None:  # doc_id assignment is committed to parquet now
+        cached.unpersist()
     print(json.dumps(manifest))
 
 

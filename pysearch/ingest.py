@@ -93,18 +93,25 @@ def reindex_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered reindex round-trip: filter + transform events into a
     scratch parquet table, read it back and summarize — verifying the
     write→read path, not just the transform plan."""
+    import shutil
     import tempfile
 
+    # scratch dir removed in finally (r02 advice: leaked per invocation);
+    # the 1-row summary is materialized before cleanup.
     dst = tempfile.mkdtemp(prefix="pysearch_reindex_")
-    src = f"{sf_dir.rstrip('/')}/events.parquet"
-    reindex(spark, src, dst,
-            processors=[{"uppercase": {"field": "event_type"}},
-                        {"rename": {"field": "event_type",
-                                    "target_field": "etype"}}],
-            where="value > 50")
-    back = spark.read.parquet(dst)
-    return back.agg(F.count("*").alias("n_reindexed"),
-                    F.count_distinct("etype").alias("n_types"))
+    try:
+        src = f"{sf_dir.rstrip('/')}/events.parquet"
+        reindex(spark, src, dst,
+                processors=[{"uppercase": {"field": "event_type"}},
+                            {"rename": {"field": "event_type",
+                                        "target_field": "etype"}}],
+                where="value > 50")
+        back = spark.read.parquet(dst)
+        row = back.agg(F.count("*").alias("n_reindexed"),
+                       F.count_distinct("etype").alias("n_types")).collect()
+        return spark.createDataFrame(row, "n_reindexed long, n_types long")
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
 
 
 def reindex(spark: SparkSession, src_dir: str, dst_dir: str,

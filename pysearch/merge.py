@@ -43,7 +43,7 @@ from .build import (DEFAULT_N_SALTS, DEFAULT_SALT_THRESHOLD, POSTINGS_SCHEMA,
 
 
 def merge_indexes(spark: SparkSession, indexes: list[Index], *,
-                  cache: bool = True) -> Index:
+                  cache: bool = True, broadcast_dims: bool = True) -> Index:
     """Merge N built segments into one (doc_id spaces must be disjoint —
     guaranteed by the contractual global doc_id assignment)."""
     assert indexes, "need at least one index"
@@ -75,20 +75,30 @@ def merge_indexes(spark: SparkSession, indexes: list[Index], *,
     if cache:
         term_stats = term_stats.persist()
 
-    # per-segment old n_salts rides along so each term can be routed to
-    # the fast (salt-stable) or re-salt path
-    posts = None
+    # Route each term to the fast (salt-stable) or re-salt path. The
+    # routing flag is derived entirely at TERM grain (per-segment
+    # term_stats ⋈ merged term_stats → min over segments of
+    # old_n_salts == n_salts), never via a groupBy over posting rows, and
+    # reaches the postings through ONE term-keyed join. broadcast_dims
+    # mirrors build_index's escape hatch (r02 advice): at vocabularies
+    # beyond the broadcast cap pass False and Catalyst picks a shuffle
+    # join co-partitioned with the (term, salt) encode exchange.
+    seg_salts = None
     for ix in indexes:
         old = ix.term_stats.select("term", F.col("n_salts").alias("old_n_salts"))
-        part = ix.postings.drop("df", "bucket").join(F.broadcast(old), "term")
-        posts = part if posts is None else posts.unionByName(part)
-    posts = posts.join(
-        F.broadcast(term_stats.select("term", "df", "n_salts")), "term")
-    fast_flag = (
-        posts.groupBy("term")
+        seg_salts = old if seg_salts is None else seg_salts.unionByName(old)
+    term_dims = (
+        seg_salts.join(term_stats.select("term", "df", "n_salts"), "term")
+        .groupBy("term", "df", "n_salts")
         .agg(F.min((F.col("old_n_salts") == F.col("n_salts")).cast("int"))
              .alias("fast")))
-    posts = posts.join(F.broadcast(fast_flag), "term")
+    if broadcast_dims:
+        term_dims = F.broadcast(term_dims)
+    posts = None
+    for ix in indexes:
+        part = ix.postings.drop("df", "bucket")
+        posts = part if posts is None else posts.unionByName(part)
+    posts = posts.join(term_dims, "term")
 
     n_docs, avgdl = stats.n_docs, stats.avgdl
     spark_ = posts.sparkSession

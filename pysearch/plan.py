@@ -182,12 +182,15 @@ def parse_query_string(qs: str) -> BoolNode:
     arbitrary nesting — this parser covers the search-box surface)."""
     node = BoolNode()
     raw = _QS_TOKEN.findall(qs or "")
-    # pre-scan AND positions: tokens joined by AND both become must
-    toks: list[str] = [t for t in raw if t.upper() != "OR"]
+    # pre-scan AND positions: tokens joined by AND both become must.
+    # Operators match CASE-SENSITIVELY, mirroring Lucene's classic
+    # QueryParser: a lowercase 'or'/'and' is user text, not an operator
+    # (r02 advice — the old t.upper() check silently dropped literal 'or').
+    toks: list[str] = [t for t in raw if t != "OR"]
     and_next: set[int] = set()
     cleaned: list[str] = []
     for t in toks:
-        if t.upper() == "AND":
+        if t == "AND":
             if cleaned:
                 and_next.add(len(cleaned) - 1)  # previous clause
                 and_next.add(len(cleaned))      # next clause

@@ -84,6 +84,7 @@ def streaming_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the merged index answers a BM25 top-k. Strong oracle: the same
     bm25_topk_sql the batch path uses — streaming ingest + merge must
     reproduce batch truth exactly."""
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -91,32 +92,42 @@ def streaming_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import exec as pexec
     from . import oracle_sql as osql
 
+    # Scratch dirs are removed in the finally (r02 advice: repeated
+    # driver/bench rounds leaked /tmp copies of the corpus). The top-k
+    # result is materialized BEFORE cleanup — the returned DataFrame must
+    # not lazily read the deleted segment dir.
     src = tempfile.mkdtemp(prefix="ps_stream_src_")
     out = tempfile.mkdtemp(prefix="ps_stream_out_")
-    corpus = pbuild.corpus_from_documents(spark, sf_dir)
-    for parity in (0, 1):
-        (corpus.where(F.pmod("doc_id", F.lit(2)) == parity).coalesce(1)
-         .write.mode("append").parquet(src))
-    stream = (spark.readStream.schema(CORPUS_SCHEMA)
-              .option("maxFilesPerTrigger", 1).parquet(src))
+    try:
+        corpus = pbuild.corpus_from_documents(spark, sf_dir)
+        for parity in (0, 1):
+            (corpus.where(F.pmod("doc_id", F.lit(2)) == parity).coalesce(1)
+             .write.mode("append").parquet(src))
+        stream = (spark.readStream.schema(CORPUS_SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
 
-    def commit_segment(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        idx = pbuild.build_index(spark, batch_df, n_buckets=8,
-                                 salt_threshold=64, n_salts=4)
-        pbuild.write_index(idx, os.path.join(out, f"seg-{batch_id:05d}"))
+        def commit_segment(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            idx = pbuild.build_index(spark, batch_df, n_buckets=8,
+                                     salt_threshold=64, n_salts=4)
+            pbuild.write_index(idx, os.path.join(out, f"seg-{batch_id:05d}"))
 
-    q = (stream.writeStream.foreachBatch(commit_segment)
-         .option("checkpointLocation", os.path.join(out, "_checkpoint"))
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+        q = (stream.writeStream.foreachBatch(commit_segment)
+             .option("checkpointLocation", os.path.join(out, "_checkpoint"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
 
-    idx = searchable_index(spark, out)
-    hits = pexec.search(idx, _STREAM_Q, k=10)
-    return hits.select("doc_id",
-                       F.round("score", osql.ROUND_DIGITS).alias("score"))
+        idx = searchable_index(spark, out)
+        hits = pexec.search(idx, _STREAM_Q, k=10)
+        rows = (hits.select(
+            "doc_id", F.round("score", osql.ROUND_DIGITS).alias("score"))
+            .collect())
+        return spark.createDataFrame(rows, "doc_id long, score double")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def _stream_sql() -> str:

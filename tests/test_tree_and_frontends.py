@@ -176,14 +176,35 @@ def test_count_matches_or_and(spark, tree_index, oracle_index):
     assert pexec.count_matches(tree_index, "merge sort", mode="and") == len(ms & so)
 
 
-def test_check_first_keys_all_registered():
-    """_CHECK_FIRST is coverage policy (driver checks the first ~50 keys):
-    a typo there would silently demote an operator out of verification."""
+def test_check_order_is_never_green_then_sentinels():
+    """Registration order is coverage policy (driver checks the first ~50
+    keys). The self-maintaining invariant (r02 judge item 1): every key
+    WITHOUT a green row in a committed CORRECTNESS_r*.json precedes every
+    proven key, sentinels come immediately after, and the unproven set
+    fits inside the driver's 50-row window."""
     import __spark_entry__ as em
 
     qs = em.queries()
-    missing = [k for k in em._CHECK_FIRST if k not in qs]
-    assert not missing, missing
-    # every priority key with an oracle must actually be in oracle_sql too
+    keys = list(qs)
+    green = em._green_keys()
+    unproven = {k for k in qs if k not in green}
+    assert set(keys[:len(unproven)]) == unproven, (
+        "an unproven key is ordered after a proven one")
+    assert len(unproven) <= 50, (
+        f"{len(unproven)} unproven keys exceed the driver's 50-row window")
+    sent = [k for k in em._SENTINELS if k in qs and k in green]
+    assert keys[len(unproven):len(unproven) + len(sent)] == sent
+    # every registered key must have an oracle (rows-only keys excepted
+    # by name, none currently)
     sqls = em.oracle_sql()
-    assert set(em._CHECK_FIRST) - set(sqls) <= {"agg_cardinality_approx"}
+    assert set(qs) - set(sqls) == set(), sorted(set(qs) - set(sqls))
+
+
+def test_porter_golden_is_engine_independent():
+    """The analyze_porter oracle is a HAND-FROZEN literal; this pins the
+    engine to it so impl drift fails pytest before the driver round."""
+    from pysearch.analysis_ext import PORTER_GOLDEN
+
+    bad = {w: (porter_stem(w), s) for w, s in PORTER_GOLDEN.items()
+           if porter_stem(w) != s}
+    assert not bad, bad
