@@ -82,7 +82,8 @@ def _registries():
 
     mods = []
     for m in ("relational", "dedup", "similarity", "textstats", "multimodal",
-              "phrase", "ingest", "analysis_ext", "search_ext", "streaming"):
+              "phrase", "ingest", "analysis_ext", "search_ext", "streaming",
+              "geo"):
         try:
             mods.append(importlib.import_module(f"pysearch.{m}"))
         except ImportError:
@@ -216,6 +217,38 @@ def _multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.round("score", osql.ROUND_DIGITS).alias("score"))
 
 
+def _multi_match_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fidx = _field_indexes_for(spark, sf_dir)
+    hits = pexec.search_multi_match_cross(
+        fidx, _MM_TEXT, k=_MM_K, boosts=_MM_BOOSTS)
+    return hits.select(
+        "doc_id", F.round("score", osql.ROUND_DIGITS).alias("score"))
+
+
+# function_score decay curve constants (len(text) at sf tables spans
+# ~50-550 chars, median ~300 — these produce real score variation)
+_DECAY_ARGS = dict(origin=300.0, scale=150.0, offset=25.0, decay=0.5)
+_DECAY_TEXT, _DECAY_K = "value merge", 10
+_RANDOM_SEED = 42
+
+
+def _decay(kind: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = _index_for(spark, sf_dir)
+        hits = pexec.search_function_score_decay(
+            idx, _DECAY_TEXT, kind, k=_DECAY_K, **_DECAY_ARGS)
+        return hits.select(
+            "doc_id", F.round("score", osql.ROUND_DIGITS).alias("score"))
+    return run
+
+
+def _random_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index_for(spark, sf_dir)
+    hits = pexec.search_random_score(idx, "merge", seed=_RANDOM_SEED, k=10)
+    return hits.select(
+        "doc_id", F.round("score", osql.ROUND_DIGITS).alias("score"))
+
+
 # Driver CORRECTNESS policy: the driver verifies queries() entries in
 # REGISTRATION ORDER with a hard cap (50 rows/round, confirmed r01+r02).
 # Ordering is therefore coverage policy, and it is SELF-MAINTAINING (the
@@ -291,8 +324,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q_simple_query_string"] = _tree_query(
         lambda: pplan.parse_simple_query_string(_SQS_TEXT), 10)
     out["q_multi_match"] = _multi_match
+    out["q_mm_cross_fields"] = _multi_match_cross
     out["q_boosting"] = _boosting
     out["index_stats"] = _index_stats
+    for kind in ("gauss", "linear", "exp"):
+        out[f"fs_decay_{kind}"] = _decay(kind)
+    out["fs_random_score"] = _random_score
     for mod in _registries():
         for name, entry in mod.REGISTRY.items():
             out[name] = entry.fn
@@ -324,6 +361,12 @@ def oracle_sql() -> dict[str, str]:
     out["index_stats"] = osql.index_stats_sql()
     out["q_multi_match"] = osql.multi_match_sql(
         _MM_TEXT, _MM_FIELDS_SQL, _MM_K, "best_fields", _MM_TB, _MM_BOOSTS)
+    out["q_mm_cross_fields"] = osql.cross_fields_sql(
+        _MM_TEXT, _MM_FIELDS_SQL, _MM_K, _MM_BOOSTS)
+    for kind in ("gauss", "linear", "exp"):
+        out[f"fs_decay_{kind}"] = osql.decay_sql(
+            _DECAY_TEXT, kind, k=_DECAY_K, **_DECAY_ARGS)
+    out["fs_random_score"] = osql.random_score_sql("merge", _RANDOM_SEED, 10)
     for mod in _registries():
         for name, entry in mod.REGISTRY.items():
             if entry.sql is not None:

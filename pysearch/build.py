@@ -60,6 +60,13 @@ POSTINGS_SCHEMA = T.StructType([
     T.StructField("block_max_score", T.DoubleType(), False),
 ])
 
+#: kernel output when the encode exchange is dictionary-encoded
+#: (term replaced by term_id = xxhash64(term) through the shuffle; the
+#: string is joined back at BLOCK grain after encode)
+POSTINGS_ID_SCHEMA = T.StructType(
+    [T.StructField("term_id", T.LongType(), False)]
+    + [f for f in POSTINGS_SCHEMA.fields if f.name != "term"])
+
 
 @dataclass
 class Stats:
@@ -157,25 +164,30 @@ def tokenize(corpus: DataFrame, tokenizer: str = "native") -> DataFrame:
     return corpus.select("doc_id", toks.alias("tokens"))
 
 
-def encode_partition_kernel(n_docs: int, avgdl: float, k1: float, b: float):
-    """mapInPandas kernel: posting-grain rows (doc_id, tf, dl_byte, term,
-    salt, df), sorted by (term, salt) within the partition, -> encoded
-    POSTINGS_SCHEMA block rows. Runs straddling an Arrow batch boundary
-    are carried into the next batch. Shared by build_index and
-    merge_indexes' re-salt path."""
+def encode_partition_kernel(n_docs: int, avgdl: float, k1: float, b: float,
+                            key_col: str = "term"):
+    """mapInPandas kernel: posting-grain rows (doc_id, tf, dl_byte,
+    <key>, salt, df), sorted by (<key>, salt) within the partition, ->
+    encoded block rows. ``key_col`` is "term" (string path, output
+    POSTINGS_SCHEMA) or "term_id" (dictionary-encoded path, output
+    POSTINGS_ID_SCHEMA — int64 run keys compare ~10× faster and the
+    Arrow transfer drops the repeated strings). Runs straddling an Arrow
+    batch boundary are carried into the next batch. Shared by
+    build_index and merge_indexes' re-salt path."""
+    schema = POSTINGS_SCHEMA if key_col == "term" else POSTINGS_ID_SCHEMA
 
     def encode_partition(batches):
         import numpy as np
         import pandas as pd
 
-        cols = [f.name for f in POSTINGS_SCHEMA.fields]
+        cols = [f.name for f in schema.fields]
         carry: pd.DataFrame | None = None
 
         def encode_run(doc_ids, tfs, dl_bytes, term, salt, df_global, out):
             idf = float(codec.bm25_idf(df_global, n_docs))
             for r in codec.encode_blocks(doc_ids, tfs, dl_bytes,
                                          idf, avgdl, k1, b):
-                r["term"] = term
+                r[key_col] = term
                 r["salt"] = salt
                 r["bucket"] = 0  # filled by caller (needs xxhash64 = JVM)
                 r["df"] = df_global
@@ -183,7 +195,7 @@ def encode_partition_kernel(n_docs: int, avgdl: float, k1: float, b: float):
 
         def flush(pdf, last_partial):
             """Encode all complete runs of pdf; return (rows, carry)."""
-            terms = pdf["term"].to_numpy()
+            terms = pdf[key_col].to_numpy()
             salts = pdf["salt"].to_numpy()
             change = np.flatnonzero((terms[1:] != terms[:-1])
                                     | (salts[1:] != salts[:-1])) + 1
@@ -229,6 +241,7 @@ def build_index(
     b: float = analysis.B,
     cache: bool = True,
     broadcast_dims: bool = True,
+    dict_encode: bool = True,
 ) -> Index:
     """Build all index tables from a corpus DataFrame (not yet written out)."""
     if tokenizer == "native":
@@ -299,7 +312,31 @@ def build_index(
     # (verified in the plan). At 10^12-doc scale, where vocab/doc-count
     # outgrow a broadcast, these become shuffle-hash joins co-partitioned
     # with the encode repartition (pass broadcast_dims=False).
-    dims = term_stats.select("term", "df", "n_salts")
+    #
+    # Dictionary-encoded exchange (r02 perf lever — the (term,salt)
+    # exchange + Arrow transfer was 63% of build wall): the term STRING
+    # is replaced by term_id = xxhash64(term) through the shuffle/sort/
+    # Arrow hop (same hash the bucket layout already uses, so bucket =
+    # pmod(term_id, n_buckets) needs no string either), and the string
+    # is joined back at BLOCK grain (~1/BLOCK_SIZE the rows) after
+    # encode. xxhash64 collisions would silently merge two terms'
+    # posting lists, so a vocab-grain uniqueness check gates the path
+    # and falls back to shuffling strings (never triggered in practice;
+    # P[collision] ≈ |vocab|²/2⁶⁵ ≈ 5e-8 even at 10^9 terms).
+    if dict_encode:
+        chk = term_stats.agg(
+            F.count("*").alias("n"),
+            F.count_distinct(F.xxhash64("term")).alias("nid")).collect()[0]
+        if int(chk["n"]) != int(chk["nid"]):
+            dict_encode = False
+
+    key = "term_id" if dict_encode else "term"
+    dims_cols = ["term", "df", "n_salts"]
+    if dict_encode:
+        dims = term_stats.select(
+            "term", F.xxhash64("term").alias("term_id"), "df", "n_salts")
+    else:
+        dims = term_stats.select(*dims_cols)
     dl_side = docs.select("doc_id", "dl_byte")
     if broadcast_dims:
         dims, dl_side = F.broadcast(dims), F.broadcast(dl_side)
@@ -307,27 +344,42 @@ def build_index(
         tf.join(dims, "term")
         .join(dl_side, "doc_id")
         .withColumn("salt", F.pmod(F.col("doc_id"), F.col("n_salts")).cast("int"))
+        # exchange only what the kernel needs: n_salts (and the string on
+        # the id path) never crosses the wire
+        .select("doc_id", key, F.col("tf").cast("int").alias("tf"),
+                "df", "dl_byte", "salt")
     )
 
     n_docs, avgdl = stats.n_docs, stats.avgdl
 
-    # Encode partition-wise, not group-wise: repartition by (term, salt)
-    # then sort within partitions so each (term, salt) run is contiguous,
+    # Encode partition-wise, not group-wise: repartition by (key, salt)
+    # then sort within partitions so each (key, salt) run is contiguous,
     # and stream Arrow batches through ONE mapInPandas kernel per
     # partition. applyInPandas would pay per-group Arrow/pandas overhead
     # (~10 ms × |vocab| groups dominated the build); here the overhead is
     # per 64k-row batch and the per-term work is pure numpy. Groups that
     # straddle a batch boundary are carried into the next batch.
     n_parts = int(enriched.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    sorted_parts = (enriched.repartition(n_parts, "term", "salt")
-                    .sortWithinPartitions("term", "salt"))
+    sorted_parts = (enriched.repartition(n_parts, key, "salt")
+                    .sortWithinPartitions(key, "salt"))
 
-    postings = (
-        sorted_parts.mapInPandas(
-            encode_partition_kernel(n_docs, avgdl, k1, b),
-            schema=POSTINGS_SCHEMA)
-        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-    )
+    encoded = sorted_parts.mapInPandas(
+        encode_partition_kernel(n_docs, avgdl, k1, b, key_col=key),
+        schema=POSTINGS_ID_SCHEMA if dict_encode else POSTINGS_SCHEMA)
+    if dict_encode:
+        tdict = term_stats.select(
+            F.xxhash64("term").alias("term_id"), "term")
+        if broadcast_dims:
+            tdict = F.broadcast(tdict)
+        postings = (
+            encoded
+            .withColumn("bucket",
+                        F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int"))
+            .join(tdict, "term_id")
+            .select(*[f.name for f in POSTINGS_SCHEMA.fields]))
+    else:
+        postings = encoded.withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
     if cache:
         postings = postings.persist()
 

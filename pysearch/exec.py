@@ -712,6 +712,121 @@ def search_boosting(index: Index, positive: str, negative: str,
     return (pos.orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
 
+def _decay_factor(kind: str, x, origin: float, scale: float,
+                  offset: float, decay: float):
+    """Column expression for ES's decay curves (DecayFunctionBuilder):
+    distance = max(0, |x − origin| − offset), then
+      gauss:  exp(−dist² / 2σ²),  σ² = −scale² / (2·ln decay)
+      exp:    exp(λ·dist),        λ  = ln(decay) / scale
+      linear: max(0, (s − dist)/s),  s = scale / (1 − decay)
+    so that decay(origin ± (offset+scale)) == `decay` for every kind."""
+    import math
+
+    dist = F.greatest(F.lit(0.0), F.abs(x - F.lit(float(origin)))
+                      - F.lit(float(offset)))
+    if kind == "gauss":
+        sigma2 = -scale * scale / (2.0 * math.log(decay))
+        return F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+    if kind == "exp":
+        lam = math.log(decay) / scale
+        return F.exp(F.lit(lam) * dist)
+    if kind == "linear":
+        s = scale / (1.0 - decay)
+        return F.greatest(F.lit(0.0), (F.lit(s) - dist) / F.lit(s))
+    raise ValueError(kind)
+
+
+def search_function_score_decay(index: Index, text_or_terms, kind: str,
+                                *, origin: float, scale: float,
+                                offset: float = 0.0, decay: float = 0.5,
+                                k: int = 10, mode: str = "or") -> DataFrame:
+    """function_score with a decay function over a numeric doc feature
+    (here: len(content) chars — the forward-index numeric the corpus
+    carries). final = bm25 · decay(len). Reference:
+    index/query/functionscore/DecayFunctionBuilder.java (GaussDecay /
+    ExponentialDecay / LinearDecay)."""
+    terms = (analysis.analyze(text_or_terms)
+             if isinstance(text_or_terms, str) else list(text_or_terms))
+    q = Query(0, terms, k=2**31 - 1, mode=mode)
+    hits = search_many(index, [q], method="distributed")
+    feat = index.docs.select(
+        "doc_id", F.length("content").cast("double").alias("_x"))
+    boosted = (hits.join(feat, "doc_id")
+               .withColumn("score",
+                           F.col("score") * _decay_factor(
+                               kind, F.col("_x"), origin, scale, offset, decay))
+               .drop("_x"))
+    return (boosted.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def search_random_score(index: Index, text_or_terms, seed: int = 42,
+                        k: int = 10, mode: str = "or") -> DataFrame:
+    """function_score random_score (RandomScoreFunctionBuilder): a
+    DETERMINISTIC per-(seed, doc) uniform score in [0,1) — reproducible
+    sampling of the match set. ES hashes seed+doc _id; here the portable
+    equivalent: first 8 hex chars of md5('<seed>:<doc_id>') / 2^32 —
+    identical arithmetic in the DuckDB oracle."""
+    terms = (analysis.analyze(text_or_terms)
+             if isinstance(text_or_terms, str) else list(text_or_terms))
+    q = Query(0, terms, k=2**31 - 1, mode=mode)
+    hits = search_many(index, [q], method="distributed")
+    r = (F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)),
+                              F.col("doc_id").cast("string"))), 1, 8),
+         16, 10).cast("double") / F.lit(4294967296.0))
+    return (hits.select("doc_id", r.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def search_multi_match_cross(field_indexes: dict[str, "Index"],
+                             text: str, k: int = 10,
+                             boosts: dict[str, float] | None = None
+                             ) -> DataFrame:
+    """multi_match type=cross_fields (MultiMatchQueryBuilder Type
+    CROSS_FIELDS / [lucene dep] BlendedTermQuery): term-centric blending —
+    each term's df is BLENDED as max over fields, each field's tf
+    normalization keeps its own dl/avgdl, and per (doc, term) the best
+    field wins (max), then terms sum. Per-field contribs come from the
+    posting lists (_per_term_scored) and are rescaled from the field idf
+    to the blended idf — a pure per-term scalar (vocab-grain driver
+    lookup via the term-dictionary cache, zero extra shuffles)."""
+    boosts = boosts or {}
+    terms = sorted(set(analysis.analyze(text)))
+    idxs = list(field_indexes.values())
+    spark = idxs[0].postings.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    n_docs = idxs[0].stats.n_docs
+    field_df = {fname: term_meta(fidx, terms)
+                for fname, fidx in field_indexes.items()}
+    df_blend = {t: max(field_df[f][t][0] for f in field_indexes)
+                for t in terms}
+    per_field = []
+    for fname, fidx in field_indexes.items():
+        w = float(boosts.get(fname, 1.0))
+        present = [t for t in terms if field_df[fname][t][0] > 0]
+        if not present:
+            continue
+        scored = _per_term_scored(fidx, present)
+        # contrib = idf_field · tfnorm  →  rescale to blended idf
+        # (scored only ever contains `present` terms, base 0.0 unreachable)
+        scale = F.lit(0.0)
+        for t in present:
+            idf_f = float(codec.bm25_idf(field_df[fname][t][0], n_docs))
+            idf_b = float(codec.bm25_idf(df_blend[t], n_docs))
+            scale = (F.when(F.col("term") == t, F.lit(w * idf_b / idf_f))
+                     .otherwise(scale))
+        per_field.append(scored.select(
+            "doc_id", "term", (F.col("score") * scale).alias("fscore")))
+    u = per_field[0]
+    for rel in per_field[1:]:
+        u = u.unionByName(rel)
+    per_term = u.groupBy("doc_id", "term").agg(F.max("fscore").alias("ts"))
+    return (per_term.groupBy("doc_id").agg(F.sum("ts").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
 def count_matches(index: Index, text_or_terms, mode: str = "or") -> int:
     """_count analog ([lucene dep] TotalHitCountCollector): decodes docID
     gaps ONLY — no tf/norm decode and no BM25 arithmetic (r01 perf

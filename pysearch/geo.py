@@ -1,0 +1,98 @@
+"""Geo filters — SURVEY §2.5 geo family, previously the only declared
+out-of-scope item (r02 VERDICT 'What's missing' #6).
+
+Reference anchors: index/query/GeoBoundingBoxQueryBuilder.java (bbox
+containment over doc_values lat/lon), GeoDistanceQueryBuilder.java +
+common/geo/GeoDistance.java (haversine ARC distance).
+
+The driver tables carry no coordinates, so both engines DERIVE a
+deterministic (lat, lon) per customer from c_custkey with identical
+integer arithmetic — the geo predicates themselves (containment, arc
+distance, nearest-k) are then exact mirrors. At scale both are one
+narrow projected scan + filter (bbox pushes to the parquet scan when
+lat/lon are stored columns) and a TakeOrderedAndProject for nearest-k —
+no shuffle beyond the top-k reduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .registry import Entry, tbl
+
+REGISTRY: dict[str, Entry] = {}
+
+# deterministic synthetic coordinates (identical in both engines):
+#   lat = (custkey·7919 mod 18000)/100 − 90    ∈ [−90, 90)
+#   lon = (custkey·104729 mod 36000)/100 − 180 ∈ [−180, 180)
+#   (explicit DOUBLE cast: Spark promotes BIGINT/literal division to
+#    DECIMAL while DuckDB gives DOUBLE — the cast pins both to DOUBLE)
+_LAT_SQL = ("CAST(CAST(c_custkey AS BIGINT) * 7919 % 18000 AS DOUBLE)"
+            " / 100.0 - 90.0")
+_LON_SQL = ("CAST(CAST(c_custkey AS BIGINT) * 104729 % 36000 AS DOUBLE)"
+            " / 100.0 - 180.0")
+
+BBOX = {"lat_min": 10.0, "lat_max": 40.0, "lon_min": -30.0, "lon_max": 30.0}
+ORIGIN_LAT, ORIGIN_LON = 48.8566, 2.3522  # Paris
+EARTH_R_KM = 6371.0088
+
+
+def _reg(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = Entry(fn=fn, sql=sql)
+        return fn
+    return deco
+
+
+def _latlon(df: DataFrame) -> DataFrame:
+    return df.select(
+        "c_custkey",
+        F.expr(_LAT_SQL).alias("lat"),
+        F.expr(_LON_SQL).alias("lon"))
+
+
+@_reg("geo_bbox", f"""
+WITH pts AS (
+  SELECT c_custkey, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM customer)
+SELECT c_custkey, lat, lon FROM pts
+WHERE lat BETWEEN {BBOX['lat_min']} AND {BBOX['lat_max']}
+  AND lon BETWEEN {BBOX['lon_min']} AND {BBOX['lon_max']}
+ORDER BY c_custkey""")
+def geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_bounding_box filter: customers whose point falls inside the
+    box (GeoBoundingBoxQueryBuilder — non-scoring, filter context)."""
+    pts = _latlon(tbl(spark, sf_dir, "customer"))
+    return (pts.where(F.col("lat").between(BBOX["lat_min"], BBOX["lat_max"])
+                      & F.col("lon").between(BBOX["lon_min"], BBOX["lon_max"]))
+            .orderBy("c_custkey"))
+
+
+_HAVERSINE_SQL = f"""2 * {EARTH_R_KM} * asin(sqrt(
+    sin(radians((lat - {ORIGIN_LAT}) / 2)) ^ 2
+    + cos(radians({ORIGIN_LAT})) * cos(radians(lat))
+      * sin(radians((lon - {ORIGIN_LON}) / 2)) ^ 2))"""
+
+
+@_reg("geo_distance", f"""
+WITH pts AS (
+  SELECT c_custkey, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM customer),
+dist AS (
+  SELECT c_custkey, {_HAVERSINE_SQL} AS d_km FROM pts),
+topk AS (
+  SELECT c_custkey, d_km FROM dist
+  ORDER BY d_km ASC, c_custkey ASC LIMIT 10)
+SELECT c_custkey, round(d_km, 4) AS d_km FROM topk""")
+def geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_distance nearest-k: haversine arc distance from a fixed origin
+    (GeoDistanceQueryBuilder, GeoDistance.ARC), 10 closest customers.
+    Nearest-k on the raw double, rounded for the cross-engine compare."""
+    pts = _latlon(tbl(spark, sf_dir, "customer"))
+    dlat = F.radians((F.col("lat") - ORIGIN_LAT) / 2.0)
+    dlon = F.radians((F.col("lon") - ORIGIN_LON) / 2.0)
+    h = (F.sin(dlat) * F.sin(dlat)
+         + F.cos(F.radians(F.lit(ORIGIN_LAT))) * F.cos(F.radians("lat"))
+         * F.sin(dlon) * F.sin(dlon))
+    d_km = 2.0 * EARTH_R_KM * F.asin(F.sqrt(h))
+    topk = (pts.select("c_custkey", d_km.alias("d_raw"))
+            .orderBy(F.asc("d_raw"), F.asc("c_custkey")).limit(10))
+    return topk.select("c_custkey", F.round("d_raw", 4).alias("d_km"))

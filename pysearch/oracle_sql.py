@@ -378,6 +378,106 @@ topk AS (
 SELECT doc_id, round(score_raw, {ROUND_DIGITS}) AS score FROM topk"""
 
 
+def decay_sql(query_text: str, kind: str, *, origin: float, scale: float,
+              offset: float, decay: float, k: int,
+              table: str = "documents") -> str:
+    """Oracle for function_score decay: BM25 · decay(len(text)) with the
+    same closed-form curve constants exec._decay_factor embeds."""
+    import math
+
+    frag, _ = _scored_ctes(query_text, table)
+    dist = f"greatest(0.0, abs(len(d.text) - {float(origin)!r}) - {float(offset)!r})"
+    if kind == "gauss":
+        sigma2 = -scale * scale / (2.0 * math.log(decay))
+        curve = f"exp(-({dist}) * ({dist}) / {2.0 * sigma2!r})"
+    elif kind == "exp":
+        lam = math.log(decay) / scale
+        curve = f"exp({lam!r} * ({dist}))"
+    elif kind == "linear":
+        s = scale / (1.0 - decay)
+        curve = f"greatest(0.0, ({s!r} - ({dist})) / {s!r})"
+    else:
+        raise ValueError(kind)
+    return f"""
+WITH {frag},
+agg AS (SELECT doc_id, sum(contrib) AS bm25 FROM scored GROUP BY doc_id),
+boosted AS (
+  SELECT a.doc_id, a.bm25 * {curve} AS score_raw
+  FROM agg a JOIN {table} d ON a.doc_id = d.doc_id),
+topk AS (
+  SELECT doc_id, score_raw FROM boosted
+  ORDER BY score_raw DESC, doc_id ASC LIMIT {k})
+SELECT doc_id, round(score_raw, {ROUND_DIGITS}) AS score FROM topk"""
+
+
+def random_score_sql(query_text: str, seed: int, k: int,
+                     table: str = "documents") -> str:
+    """Oracle for function_score random_score: identical md5-derived
+    uniform — first 8 hex chars of md5('<seed>:<doc_id>') / 2^32."""
+    terms = sorted(set(analysis.analyze(query_text)))
+    in_list = ", ".join(_quote(t) for t in terms)
+    return f"""
+WITH {corpus_ctes(table)},
+m AS (SELECT doc_id FROM tok2 WHERE term IN ({in_list}) GROUP BY doc_id),
+r AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(concat('{seed}', ':', doc_id)), 1, 8))::BIGINT
+           / 4294967296.0 AS score_raw
+  FROM m),
+topk AS (
+  SELECT doc_id, score_raw FROM r
+  ORDER BY score_raw DESC, doc_id ASC LIMIT {k})
+SELECT doc_id, round(score_raw, {ROUND_DIGITS}) AS score FROM topk"""
+
+
+def cross_fields_sql(text: str, fields: dict[str, str], k: int,
+                     boosts: dict[str, float] | None = None,
+                     table: str = "documents") -> str:
+    """Oracle for multi_match type=cross_fields: per-term df BLENDED as
+    max over fields, each field keeps its own tf/dl normalization, best
+    field wins per (doc, term), terms sum — mirrors
+    exec.search_multi_match_cross."""
+    boosts = boosts or {}
+    terms = sorted(set(analysis.analyze(text)))
+    in_list = ", ".join(_quote(t) for t in terms)
+    k1, b = analysis.K1, analysis.B
+    frags, df_unions, branches = [], [], []
+    for i, (fname, fexpr) in enumerate(fields.items()):
+        p = f"f{i}_"
+        w = float(boosts.get(fname, 1.0))
+        dlq = codec.duckdb_dlq_expr(f"{p}dl.dl")
+        frags.append(f"""{corpus_ctes(table, fexpr, p)},
+{p}tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM {p}tok2 WHERE term IN ({in_list}) GROUP BY doc_id, term
+)""")
+        df_unions.append(
+            f"SELECT term, count(*)::DOUBLE AS df FROM {p}tf GROUP BY term")
+        branches.append(f"""
+  SELECT {p}tf.doc_id, {p}tf.term,
+         ln(1 + (s.n - bl.dfb + 0.5) / (bl.dfb + 0.5))
+           * ({p}tf.tf / ({p}tf.tf + {k1} * (1 - {b} + {b} * {dlq} / s.avgdl)))
+           * {w} AS fscore
+  FROM {p}tf
+  JOIN blend bl USING (term)
+  JOIN {p}dl ON {p}tf.doc_id = {p}dl.doc_id
+  CROSS JOIN {p}stats s""")
+    union_df = "\n  UNION ALL ".join(df_unions)
+    union_br = "\n  UNION ALL ".join(branches)
+    return f"""
+WITH {",".join(frags)},
+blend AS (
+  SELECT term, max(df) AS dfb FROM ({union_df}) GROUP BY term),
+perfield AS ({union_br}),
+perterm AS (
+  SELECT doc_id, term, max(fscore) AS ts FROM perfield GROUP BY doc_id, term),
+agg AS (SELECT doc_id, sum(ts) AS score_raw FROM perterm GROUP BY doc_id),
+topk AS (
+  SELECT doc_id, score_raw FROM agg
+  ORDER BY score_raw DESC, doc_id ASC LIMIT {k})
+SELECT doc_id, round(score_raw, {ROUND_DIGITS}) AS score FROM topk"""
+
+
 def boosting_sql(positive: str, negative: str, negative_boost: float,
                  k: int, table: str = "documents") -> str:
     """Oracle for the boosting query: positive BM25 scores, demoted by

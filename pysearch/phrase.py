@@ -108,6 +108,133 @@ REGISTRY["q_phrase_prefix"] = Entry(
     fn=_phrase_prefix("merge", "so"),
     sql=_phrase_prefix_sql("merge", "so"))
 
+
+# ---------------------------------------------------------------------------
+# multi_match type=phrase — MatchPhraseQuery per field, dis_max combine
+# (MultiMatchQueryBuilder Type PHRASE). Lucene scores a phrase like a term
+# with tf = phrase frequency and idf = Σ idf(member term), per field with
+# that field's own dl/avgdl statistics.
+# ---------------------------------------------------------------------------
+
+_MMP_FIELDS = {  # field name -> (Spark column fn, DuckDB text expression)
+    "content": (lambda: F.col("text"), "text"),
+    "title": (lambda: F.substring("text", 1, 80), "substr(text, 1, 80)"),
+}
+_MMP_BOOSTS = {"title": 2.0}
+_MMP_TB = 0.3
+
+
+def _mm_phrase(t0: str, t1: str, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from . import codec
+
+        d = tbl(spark, sf_dir, "documents")
+        k1, b = analysis.K1, analysis.B
+        per_field = []
+        for fname, (fcol, _) in _MMP_FIELDS.items():
+            w = float(_MMP_BOOSTS.get(fname, 1.0))
+            toks = analysis.tokens_expr(fcol())
+            pos = d.select("doc_id", F.posexplode(toks).alias("pos", "term"))
+            # field stats: N, avgdl (zero-token docs count), member-term dfs
+            srow = d.select(F.size(toks).alias("dl")).agg(
+                F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+            n, avgdl = float(srow["n"]), float(srow["avgdl"])
+            dfs = {r["term"]: float(r["cnt"]) for r in
+                   pos.where(F.col("term").isin(t0, t1)).groupBy("term")
+                   .agg(F.count_distinct("doc_id").alias("cnt")).collect()}
+            if t0 not in dfs or t1 not in dfs:
+                continue  # phrase cannot match in this field
+            import math
+
+            idf_sum = sum(
+                math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+                for t in (t0, t1))
+            a = pos.where(F.col("term") == t0).alias("a")
+            bb = pos.where(F.col("term") == t1).alias("b")
+            ptf = (a.join(bb, (F.col("a.doc_id") == F.col("b.doc_id"))
+                          & (F.col("b.pos") == F.col("a.pos") + 1))
+                   .groupBy(F.col("a.doc_id").alias("doc_id"))
+                   .agg(F.count("*").cast("double").alias("ptf")))
+            dl = d.select("doc_id", F.size(toks).cast("long").alias("dl"))
+            dlq = F.expr(codec.spark_dlq_sql("dl")).cast("double")
+            scored = (ptf.join(dl, "doc_id")
+                      .select("doc_id",
+                              (F.lit(idf_sum * w) * F.col("ptf")
+                               / (F.col("ptf") + k1 * (1.0 - b + b * dlq / avgdl))
+                               ).alias("fscore")))
+            per_field.append(scored)
+        if not per_field:
+            return spark.createDataFrame([], "doc_id long, score double")
+        u = per_field[0]
+        for rel in per_field[1:]:
+            u = u.unionByName(rel)
+        agg = u.groupBy("doc_id").agg(
+            F.max("fscore").alias("mx"), F.sum("fscore").alias("sm"))
+        score = F.col("mx") + _MMP_TB * (F.col("sm") - F.col("mx"))
+        topk = (agg.select("doc_id", score.alias("score_raw"))
+                .orderBy(F.desc("score_raw"), F.asc("doc_id")).limit(k))
+        return topk.select("doc_id", F.round("score_raw", 4).alias("score"))
+    return run
+
+
+def _mm_phrase_sql(t0: str, t1: str, k: int) -> str:
+    from . import codec, oracle_sql as osql
+
+    k1, b = analysis.K1, analysis.B
+    frags, branches = [], []
+    for i, (fname, (_, fexpr)) in enumerate(_MMP_FIELDS.items()):
+        p = f"f{i}_"
+        w = float(_MMP_BOOSTS.get(fname, 1.0))
+        dlq = codec.duckdb_dlq_expr(f"{p}dl.dl")
+        frags.append(f"""{osql.corpus_ctes('documents', fexpr, p)},
+{p}pos AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[CAST(i AS INT)] AS term
+  FROM (SELECT doc_id, {analysis.duckdb_tokens_nostop_expr(fexpr)} AS t
+        FROM documents),
+       unnest(range(1, len(t) + 1)) AS u(i)
+),
+{p}df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM {p}pos WHERE term IN ('{t0}', '{t1}') GROUP BY term
+),
+{p}idf AS (
+  SELECT sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS idf_sum,
+         count(*) AS n_terms
+  FROM {p}df d CROSS JOIN {p}stats s
+),
+{p}ptf AS (
+  SELECT a.doc_id, count(*)::DOUBLE AS ptf
+  FROM {p}pos a JOIN {p}pos b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{t0}' AND b.term = '{t1}'
+  GROUP BY a.doc_id
+)""")
+        branches.append(f"""
+  SELECT p.doc_id,
+         i.idf_sum * {w} * p.ptf
+           / (p.ptf + {k1} * (1 - {b} + {b} * {dlq} / s.avgdl)) AS fscore
+  FROM {p}ptf p
+  JOIN {p}dl ON p.doc_id = {p}dl.doc_id
+  CROSS JOIN {p}stats s
+  CROSS JOIN {p}idf i
+  WHERE i.n_terms = 2""")
+    union = "\n  UNION ALL ".join(branches)
+    return f"""
+WITH {",".join(frags)},
+perfield AS ({union}),
+agg AS (
+  SELECT doc_id, max(fscore) AS mx, sum(fscore) AS sm
+  FROM perfield GROUP BY doc_id),
+topk AS (
+  SELECT doc_id, mx + {_MMP_TB} * (sm - mx) AS score_raw FROM agg
+  ORDER BY score_raw DESC, doc_id ASC LIMIT {k})
+SELECT doc_id, round(score_raw, {osql.ROUND_DIGITS}) AS score FROM topk"""
+
+
+REGISTRY["q_mm_phrase"] = Entry(
+    fn=_mm_phrase("merge", "sort", 10),
+    sql=_mm_phrase_sql("merge", "sort", 10))
+
 REGISTRY["q_phrase"] = Entry(
     fn=_phrase_pair("merge", "sort", slop=0),
     sql=_phrase_pair_sql("merge", "sort", slop=0))

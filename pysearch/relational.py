@@ -20,6 +20,8 @@ Determinism notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import analysis
@@ -654,6 +656,47 @@ def scroll_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
     if last_key is not None:
         out = out.where(F.col("o_orderkey") > last_key)
     return out.orderBy("o_orderkey").limit(10)
+
+
+@_reg("scroll_pit", """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_orderkey LIMIT 10 OFFSET 10""")
+def scroll_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time cursor (TransportOpenPointInTimeAction /
+    search/internal/ScrollContext.java): opening a PIT PINS the segment
+    fileset — here a frozen snapshot dir copied from the live table (the
+    Iceberg-snapshot analog) — so pages stay stable while the live table
+    mutates. Scenario: page 1 is drained from the PIT; a concurrent
+    writer appends rows with LOWER sort keys to the LIVE table (which
+    would tear a live keyset cursor); page 2 — the returned page — must
+    equal the oracle computed on the PRISTINE table. tests/ additionally
+    proves a live (non-PIT) cursor sees the mutation."""
+    import glob
+    import shutil
+    import tempfile
+
+    live = tempfile.mkdtemp(prefix="ps_pit_live_")
+    pit = tempfile.mkdtemp(prefix="ps_pit_snap_")
+    try:
+        (tbl(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+         .coalesce(1).write.mode("overwrite").parquet(live))
+        for f in glob.glob(os.path.join(live, "*.parquet")):
+            shutil.copy(f, pit)  # open PIT: pin the current fileset
+        snap = spark.read.parquet(pit)
+        page1 = snap.orderBy("o_orderkey").limit(10).collect()
+        last = page1[-1]["o_orderkey"] if page1 else None
+        # the concurrent write the PIT must be isolated from
+        (spark.createDataFrame([(-1, 0.0), (-2, 0.0)],
+                               "o_orderkey long, o_totalprice double")
+         .write.mode("append").parquet(live))
+        page2 = snap if last is None else snap.where(
+            F.col("o_orderkey") > last)
+        rows = page2.orderBy("o_orderkey").limit(10).collect()
+        return spark.createDataFrame(
+            rows, "o_orderkey long, o_totalprice double")
+    finally:
+        shutil.rmtree(live, ignore_errors=True)
+        shutil.rmtree(pit, ignore_errors=True)
 
 
 @_reg("agg_adjacency_matrix", f"""

@@ -192,3 +192,70 @@ def test_phrase_positions_after_stopword_removal(spark, tmp_path_factory):
     slop = {r["doc_id"]: r["n_occurrences"]
             for r in phrase.REGISTRY["q_phrase_slop2"].fn(spark, str(d)).collect()}
     assert slop == {0: 1, 1: 1}      # slop 2 admits one intervening term
+
+
+def test_pit_isolated_while_live_cursor_tears(spark, tmp_path):
+    """PIT semantics (relational.scroll_pit): a snapshot-pinned cursor is
+    stable under concurrent writes; a live keyset cursor over the same
+    dir sees the mutation (exactly the tear ES's PIT exists to prevent)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    live = str(tmp_path / "live")
+    pit = str(tmp_path / "pit")
+    (spark.createDataFrame([(i, float(i)) for i in range(30)],
+                           "o_orderkey long, o_totalprice double")
+     .coalesce(1).write.parquet(live))
+    # open PIT: pin the fileset
+    import os
+    os.makedirs(pit)
+    for f in glob.glob(os.path.join(live, "*.parquet")):
+        shutil.copy(f, pit)
+    snap = spark.read.parquet(pit)
+    page1 = snap.orderBy("o_orderkey").limit(10).collect()
+    last = page1[-1]["o_orderkey"]
+    # concurrent writer appends keys BELOW the cursor and inside page 2
+    (spark.createDataFrame([(-5, 0.0), (12, 999.0)],
+                           "o_orderkey long, o_totalprice double")
+     .write.mode("append").parquet(live))
+    pit_page2 = [r["o_orderkey"] for r in
+                 snap.where(F.col("o_orderkey") > last)
+                 .orderBy("o_orderkey").limit(10).collect()]
+    live_page2 = [r["o_orderkey"] for r in
+                  spark.read.parquet(live)
+                  .where(F.col("o_orderkey") > last)
+                  .orderBy("o_orderkey").limit(10).collect()]
+    assert pit_page2 == list(range(10, 20))          # snapshot-stable
+    assert live_page2.count(12) == 2                 # the live cursor tears
+
+
+def test_random_score_deterministic_and_uniformish(spark, built_index):
+    from pysearch import exec as pexec
+
+    a = pexec.search_random_score(built_index, "value", seed=7, k=20).collect()
+    b = pexec.search_random_score(built_index, "value", seed=7, k=20).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert all(0.0 <= r["score"] < 1.0 for r in a)
+    c = pexec.search_random_score(built_index, "value", seed=8, k=20).collect()
+    assert [r["doc_id"] for r in a] != [r["doc_id"] for r in c]
+
+
+def test_decay_curves_hit_decay_at_scale_edge(spark, built_index):
+    """decay(origin ± (offset+scale)) == decay for all three kinds, and
+    the curve is 1.0 inside the offset plateau."""
+    import math
+
+    from pyspark.sql import functions as F
+    from pysearch import exec as pexec
+
+    one = spark.createDataFrame(
+        [(0.0,), (300.0,), (310.0,), (475.0,)], "x double")
+    for kind in ("gauss", "linear", "exp"):
+        vals = {r["x"]: r["d"] for r in one.select(
+            "x", pexec._decay_factor(
+                kind, F.col("x"), 300.0, 150.0, 25.0, 0.5).alias("d")
+        ).collect()}
+        assert vals[300.0] == 1.0 and vals[310.0] == 1.0  # offset plateau
+        assert math.isclose(vals[475.0], 0.5, rel_tol=1e-9), (kind, vals)
