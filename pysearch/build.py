@@ -241,9 +241,18 @@ def build_index(
     b: float = analysis.B,
     cache: bool = True,
     broadcast_dims: bool = True,
-    dict_encode: bool = True,
+    dict_encode: bool = False,
 ) -> Index:
-    """Build all index tables from a corpus DataFrame (not yet written out)."""
+    """Build all index tables from a corpus DataFrame (not yet written out).
+
+    dict_encode: replace the term string with xxhash64 term_id through the
+    encode exchange (see the comment at the encode step). MEASURED
+    neutral-to-negative at 100k docs / short code tokens on this box
+    (ABBA-interleaved medians 0.87×, best-vs-best 1.09× — the extra
+    vocab-grain uniqueness job + block-grain dictionary join offset the
+    ~25% narrower shuffle rows), so OFF by default; the knob exists for
+    corpora with long terms / fat vocabularies where the exchange-width
+    saving dominates. Output is byte-identical either way (tested)."""
     if tokenizer == "native":
         toks_col = analysis.tokens_expr(F.col("content"))
     elif tokenizer == "pandas":

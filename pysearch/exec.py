@@ -827,6 +827,35 @@ def search_multi_match_cross(field_indexes: dict[str, "Index"],
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
 
+def search_fuzzy(index: Index, term: str, max_dist: int = 2,
+                 max_expansions: int = 10, k: int = 10) -> DataFrame:
+    """fuzzy query (index/query/FuzzyQueryBuilder.java / [lucene dep]
+    FuzzyQuery): the query term expands against the TERMS DICTIONARY to
+    every vocab term within `max_dist` edits (Lucene walks a Levenshtein
+    automaton over the terms dict; the relational analog is a vocab-grain
+    scan — term_stats, not postings), capped at `max_expansions` ranked
+    (distance asc, term asc). Each expansion scores BM25 weighted by
+    1 − dist/len(query) (FuzzyQuery's similarity boost), summed per doc.
+    The expansion itself is a ≤max_expansions-row driver collect — the
+    coordinator-side rewrite, exactly where ES does it."""
+    spark = index.postings.sparkSession
+    exp = (index.term_stats.select("term")
+           .withColumn("dist", F.levenshtein("term", F.lit(term)))
+           .where(F.col("dist") <= max_dist)
+           .orderBy(F.asc("dist"), F.asc("term"))
+           .limit(max_expansions).collect())
+    if not exp:
+        return spark.createDataFrame([], "doc_id long, score double")
+    weights = {r["term"]: 1.0 - r["dist"] / float(len(term)) for r in exp}
+    scored = _per_term_scored(index, sorted(weights))
+    w = F.lit(0.0)
+    for t, wt in weights.items():
+        w = F.when(F.col("term") == t, F.lit(wt)).otherwise(w)
+    agg = (scored.withColumn("c", F.col("score") * w)
+           .groupBy("doc_id").agg(F.sum("c").alias("score")))
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def count_matches(index: Index, text_or_terms, mode: str = "or") -> int:
     """_count analog ([lucene dep] TotalHitCountCollector): decodes docID
     gaps ONLY — no tf/norm decode and no BM25 arithmetic (r01 perf

@@ -96,3 +96,44 @@ def geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = (pts.select("c_custkey", d_km.alias("d_raw"))
             .orderBy(F.asc("d_raw"), F.asc("c_custkey")).limit(10))
     return topk.select("c_custkey", F.round("d_raw", 4).alias("d_km"))
+
+
+@_reg("agg_geo_bounds", f"""
+WITH pts AS (
+  SELECT c_custkey, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM customer)
+SELECT round(min(lat), 4) AS lat_min, round(max(lat), 4) AS lat_max,
+       round(min(lon), 4) AS lon_min, round(max(lon), 4) AS lon_max
+FROM pts
+WHERE lat BETWEEN {BBOX['lat_min']} AND {BBOX['lat_max']}
+  AND lon BETWEEN {BBOX['lon_min']} AND {BBOX['lon_max']}""")
+def agg_geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_bounds aggregation (metrics/GeoBoundsAggregator.java): the
+    tightest box enclosing the (bbox-filtered) point set — one
+    map-side-combinable min/max agg, no shuffle beyond the 1-row reduce."""
+    pts = _latlon(tbl(spark, sf_dir, "customer"))
+    return (pts.where(F.col("lat").between(BBOX["lat_min"], BBOX["lat_max"])
+                      & F.col("lon").between(BBOX["lon_min"], BBOX["lon_max"]))
+            .agg(F.round(F.min("lat"), 4).alias("lat_min"),
+                 F.round(F.max("lat"), 4).alias("lat_max"),
+                 F.round(F.min("lon"), 4).alias("lon_min"),
+                 F.round(F.max("lon"), 4).alias("lon_max")))
+
+
+@_reg("agg_geo_centroid", f"""
+WITH pts AS (
+  SELECT c_custkey, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM customer)
+SELECT round(avg(lat), 4) AS lat_c, round(avg(lon), 4) AS lon_c,
+       count(*) AS n_points
+FROM pts
+WHERE lat BETWEEN {BBOX['lat_min']} AND {BBOX['lat_max']}
+  AND lon BETWEEN {BBOX['lon_min']} AND {BBOX['lon_max']}""")
+def agg_geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_centroid aggregation (metrics/GeoCentroidAggregator.java):
+    arithmetic mean of the filtered point set + count (ES accumulates the
+    same running sums per shard and reduces on the coordinator)."""
+    pts = _latlon(tbl(spark, sf_dir, "customer"))
+    return (pts.where(F.col("lat").between(BBOX["lat_min"], BBOX["lat_max"])
+                      & F.col("lon").between(BBOX["lon_min"], BBOX["lon_max"]))
+            .agg(F.round(F.avg("lat"), 4).alias("lat_c"),
+                 F.round(F.avg("lon"), 4).alias("lon_c"),
+                 F.count("*").alias("n_points")))

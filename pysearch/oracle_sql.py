@@ -478,6 +478,41 @@ topk AS (
 SELECT doc_id, round(score_raw, {ROUND_DIGITS}) AS score FROM topk"""
 
 
+def fuzzy_sql(term: str, max_dist: int, max_expansions: int, k: int,
+              table: str = "documents") -> str:
+    """Oracle for the fuzzy query: the expansion set is re-derived from
+    the corpus vocabulary with the same (levenshtein ≤ d, top-N by
+    (dist, term)) rule, then weighted-BM25 summed."""
+    k1, b = analysis.K1, analysis.B
+    dlq = codec.duckdb_dlq_expr("dl.dl")
+    return f"""
+WITH {corpus_ctes(table)},
+vocab AS (SELECT DISTINCT term FROM tok2),
+exp AS (
+  SELECT term, levenshtein(term, '{term}')::DOUBLE AS dist
+  FROM vocab WHERE levenshtein(term, '{term}') <= {max_dist}
+  ORDER BY dist ASC, term ASC LIMIT {max_expansions}),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok2 WHERE term IN (SELECT term FROM exp) GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {dlq} / s.avgdl)))
+           * (1.0 - e.dist / {float(len(term))}) AS contrib
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN exp e USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s),
+agg AS (SELECT doc_id, sum(contrib) AS score_raw FROM scored GROUP BY doc_id),
+topk AS (
+  SELECT doc_id, score_raw FROM agg
+  ORDER BY score_raw DESC, doc_id ASC LIMIT {k})
+SELECT doc_id, round(score_raw, {ROUND_DIGITS}) AS score FROM topk"""
+
+
 def boosting_sql(positive: str, negative: str, negative_boost: float,
                  k: int, table: str = "documents") -> str:
     """Oracle for the boosting query: positive BM25 scores, demoted by
