@@ -856,6 +856,47 @@ def search_fuzzy(index: Index, term: str, max_dist: int = 2,
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def search_wildcard(index: Index, pattern: str,
+                    max_expansions: int = 128) -> DataFrame:
+    """wildcard query (index/query/WildcardQueryBuilder.java / [lucene dep]
+    WildcardQuery): `pattern` uses * (any run) and ? (single char) and is
+    expanded against the TERMS DICTIONARY (Lucene walks an automaton over
+    the terms dict; here a vocab-grain term_stats scan — never postings).
+    Lucene's default multi-term rewrite is CONSTANT_SCORE_REWRITE: every
+    matching doc scores the query boost (1.0), no BM25 — so this decodes
+    docID gaps only, like the count path. The expansion is a
+    <= max_expansions-row driver collect (term asc, deterministic) — the
+    coordinator-side rewrite, exactly where ES does it. A leading literal
+    prefix keeps the vocab scan index-friendly (range-prunable)."""
+    import pandas as pd
+
+    spark = index.postings.sparkSession
+    like = (pattern.replace("\\", "\\\\").replace("%", "\\%")
+            .replace("_", "\\_").replace("*", "%").replace("?", "_"))
+    exp = (index.term_stats.select("term")
+           .where(F.col("term").like(like))
+           .orderBy(F.asc("term")).limit(max_expansions).collect())
+    terms = sorted(r["term"] for r in exp)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    q = Query(0, terms, k=2**31 - 1, mode="or")
+    cand = _candidates(index, [q]).select(
+        "first_doc_id", "docid_gaps", "n_in_block")
+
+    def decode_ids(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, _, _ = codec.decode_blocks_concat(
+                pdf["first_doc_id"].to_numpy(), pdf["docid_gaps"],
+                pdf["n_in_block"].to_numpy())
+            yield pd.DataFrame({"doc_id": ids})
+
+    rel = cand.mapInPandas(decode_ids, schema="doc_id long")
+    return (rel.distinct().withColumn("score", F.lit(1.0))
+            .orderBy("doc_id"))
+
+
 def count_matches(index: Index, text_or_terms, mode: str = "or") -> int:
     """_count analog ([lucene dep] TotalHitCountCollector): decodes docID
     gaps ONLY — no tf/norm decode and no BM25 arithmetic (r01 perf

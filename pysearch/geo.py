@@ -137,3 +137,75 @@ def agg_geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.avg("lat"), 4).alias("lat_c"),
                  F.round(F.avg("lon"), 4).alias("lon_c"),
                  F.count("*").alias("n_points")))
+
+
+_RING_EDGES = (3000.0, 6000.0, 9000.0)  # km from origin
+
+
+@_reg("agg_geo_distance", f"""
+WITH pts AS (
+  SELECT c_custkey, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM customer),
+dist AS (
+  SELECT c_custkey, {_HAVERSINE_SQL} AS d_km FROM pts)
+SELECT CASE WHEN d_km < {_RING_EDGES[0]} THEN '*-3000'
+            WHEN d_km < {_RING_EDGES[1]} THEN '3000-6000'
+            WHEN d_km < {_RING_EDGES[2]} THEN '6000-9000'
+            ELSE '9000-*' END AS ring,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM dist GROUP BY ring ORDER BY ring""")
+def agg_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_distance aggregation (bucket/range/GeoDistanceAggregationBuilder):
+    concentric half-open distance rings around a fixed origin. The ring id
+    is computed map-side from the same haversine as geo_distance, so the
+    shuffle carries a 4-value label key — the cheapest possible bucket agg."""
+    pts = _latlon(tbl(spark, sf_dir, "customer"))
+    dlat = F.radians((F.col("lat") - ORIGIN_LAT) / 2.0)
+    dlon = F.radians((F.col("lon") - ORIGIN_LON) / 2.0)
+    h = (F.sin(dlat) * F.sin(dlat)
+         + F.cos(F.radians(F.lit(ORIGIN_LAT))) * F.cos(F.radians("lat"))
+         * F.sin(dlon) * F.sin(dlon))
+    d_km = 2.0 * EARTH_R_KM * F.asin(F.sqrt(h))
+    ring = (F.when(d_km < _RING_EDGES[0], "*-3000")
+            .when(d_km < _RING_EDGES[1], "3000-6000")
+            .when(d_km < _RING_EDGES[2], "6000-9000")
+            .otherwise("9000-*"))
+    return (pts.groupBy(ring.alias("ring"))
+            .agg(F.count("*").alias("cnt")).orderBy("ring"))
+
+
+_TILE_Z = 4          # 16x16 world grid (slippy-map tiles)
+_TILE_N = 1 << _TILE_Z
+
+
+@_reg("agg_geotile_grid", f"""
+WITH pts AS (
+  SELECT c_custkey, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM customer),
+tiles AS (
+  SELECT CAST(floor(round((lon + 180.0) / 360.0 * {_TILE_N}, 9)) AS BIGINT)
+           AS tx,
+         CAST(floor(round((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat)))
+                           / pi()) / 2.0 * {_TILE_N}, 9)) AS BIGINT) AS ty
+  FROM pts WHERE lat BETWEEN -80.0 AND 80.0)
+SELECT '{_TILE_Z}/' || tx || '/' || ty AS tile, CAST(count(*) AS BIGINT) AS cnt
+FROM tiles GROUP BY tile ORDER BY cnt DESC, tile ASC LIMIT 10""")
+def agg_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geotile_grid aggregation (bucket/geogrid/GeoTileGridAggregationBuilder):
+    buckets are web-mercator map tiles keyed 'z/x/y' (GeoTileUtils.java
+    longEncode uses the same slippy-map formula). Latitudes outside the
+    mercator domain are filtered exactly as ES clips to GeoTileUtils
+    LATITUDE_MASK. The intermediate is rounded to 9 decimals BEFORE floor
+    in BOTH engines so a last-ulp libm difference (JVM Math vs C libm
+    tan/ln) cannot flip a tile boundary."""
+    import math
+
+    pts = _latlon(tbl(spark, sf_dir, "customer"))
+    pts = pts.where(F.col("lat").between(-80.0, 80.0))
+    tx = F.floor(F.round((F.col("lon") + 180.0) / 360.0 * _TILE_N, 9))
+    merc = (1.0 - (F.log(F.tan(F.radians("lat"))
+                         + 1.0 / F.cos(F.radians("lat"))) / math.pi)) / 2.0
+    ty = F.floor(F.round(merc * _TILE_N, 9))
+    tile = F.concat(F.lit(f"{_TILE_Z}/"), tx.cast("string"),
+                    F.lit("/"), ty.cast("string"))
+    return (pts.groupBy(tile.alias("tile"))
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("tile")).limit(10))

@@ -365,3 +365,212 @@ def termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("tf"),
                  F.min("p").cast("int").alias("first_pos"))
             .orderBy("term"))
+
+
+# ---------------------------------------------------------------------------
+# wildcard query — multi-term rewrite over the terms dictionary
+# ---------------------------------------------------------------------------
+
+WILDCARD_PATTERN = "s*"
+_WILDCARD_LIKE = WILDCARD_PATTERN.replace("*", "%").replace("?", "_")
+
+
+@_reg("q_wildcard", f"""
+WITH tok AS (
+  SELECT doc_id, unnest({analysis.duckdb_tokens_nostop_expr('text')}) AS term
+  FROM documents)
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM tok WHERE term LIKE '{_WILDCARD_LIKE}'
+ORDER BY doc_id""")
+def q_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wildcard query (WildcardQueryBuilder): pattern expanded against the
+    terms dictionary, docs scored CONSTANT (Lucene CONSTANT_SCORE_REWRITE).
+    The oracle expresses the same relation directly: docs containing any
+    term matching the pattern."""
+    import __spark_entry__ as em
+
+    from . import exec as pexec
+
+    idx = em._index_for(spark, sf_dir)
+    return pexec.search_wildcard(idx, WILDCARD_PATTERN)
+
+
+# ---------------------------------------------------------------------------
+# function_score field_value_factor — the third score-function flavor
+# (decay and random_score landed with r03 milestone 2)
+# ---------------------------------------------------------------------------
+
+FVF_TEXT, FVF_FACTOR, FVF_K = "merge sort", 0.01, 10
+
+
+def _fvf_sql() -> str:
+    from . import oracle_sql as osql
+
+    frag, _ = osql._scored_ctes(FVF_TEXT)
+    return f"""
+WITH {frag},
+base AS (SELECT doc_id, sum(contrib) AS s FROM scored GROUP BY doc_id),
+fv AS (
+  SELECT b.doc_id, b.s * ln(1 + {FVF_FACTOR} * d.n_chars) AS score_raw
+  FROM base b JOIN documents d USING (doc_id)),
+topk AS (
+  SELECT doc_id, score_raw FROM fv
+  ORDER BY score_raw DESC, doc_id ASC LIMIT {FVF_K})
+SELECT doc_id, round(score_raw, 4) AS score FROM topk"""
+
+
+def fs_field_value_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score field_value_factor (functionscore/
+    FieldValueFactorFunction.java): score = BM25 * log1p(factor * field),
+    field read from the forward index (doc-values analog: a doc_id-keyed
+    join to the documents table's n_chars column) BEFORE top-k selection,
+    exactly like the decay variants."""
+    import __spark_entry__ as em
+
+    from . import exec as pexec
+
+    idx = em._index_for(spark, sf_dir)
+    terms = sorted(set(analysis.analyze(FVF_TEXT)))
+    base = (pexec._per_term_scored(idx, terms)
+            .groupBy("doc_id").agg(F.sum("score").alias("s")))
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    fv = base.join(d, "doc_id").select(
+        "doc_id",
+        (F.col("s") * F.log(1.0 + FVF_FACTOR * F.col("n_chars")))
+        .alias("score_raw"))
+    topk = fv.orderBy(F.desc("score_raw"), F.asc("doc_id")).limit(FVF_K)
+    return topk.select("doc_id", F.round("score_raw", 4).alias("score"))
+
+
+REGISTRY["fs_field_value_factor"] = Entry(fn=fs_field_value_factor,
+                                          sql=_fvf_sql())
+
+
+# ---------------------------------------------------------------------------
+# terms_enum API — prefix-filtered vocabulary listing
+# ---------------------------------------------------------------------------
+
+TERMS_ENUM_PREFIX, TERMS_ENUM_N = "s", 20
+
+
+@_reg("terms_enum", f"""
+WITH tok AS (
+  SELECT doc_id, unnest({analysis.duckdb_tokens_nostop_expr('text')}) AS term
+  FROM documents)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM tok WHERE term LIKE '{TERMS_ENUM_PREFIX}%'
+GROUP BY term ORDER BY term ASC LIMIT {TERMS_ENUM_N}""")
+def terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_terms_enum API (rest/action/TermsEnumAction upstream): list index
+    terms matching a prefix, term-ordered — served straight from the
+    terms dictionary (term_stats), a vocab-grain scan that never touches
+    postings. The oracle re-derives the dictionary (and its df) from the
+    raw corpus, cross-checking the index's own stats."""
+    import __spark_entry__ as em
+
+    idx = em._index_for(spark, sf_dir)
+    return (idx.term_stats
+            .where(F.col("term").startswith(TERMS_ENUM_PREFIX))
+            .select("term", F.col("df").cast("long").alias("df"))
+            .orderBy("term").limit(TERMS_ENUM_N))
+
+
+# ---------------------------------------------------------------------------
+# _msearch — N independent searches planned as ONE Spark job
+# ---------------------------------------------------------------------------
+
+MSEARCH_QUERIES = ["merge sort", "hash join", "stream batch"]
+MSEARCH_K = 5
+
+
+def _msearch_sql() -> str:
+    from . import oracle_sql as osql
+
+    parts = [
+        f"SELECT CAST({i} AS BIGINT) AS query_id, doc_id, score\n"
+        f"FROM ({osql.bm25_topk_sql(text, MSEARCH_K)})"
+        for i, text in enumerate(MSEARCH_QUERIES)
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return f"SELECT * FROM ({union}) u ORDER BY query_id, score DESC, doc_id"
+
+
+def msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_msearch (action/search/MultiSearchRequest): a batch of independent
+    top-k queries answered by ONE job — the candidate scan is shared and
+    tagged with query_id (exec.search_many), the shape BENCH batch_7q
+    measures at 0.14 s/query amortized."""
+    import __spark_entry__ as em
+
+    from . import exec as pexec
+
+    idx = em._index_for(spark, sf_dir)
+    qs = [pexec.Query(i, analysis.analyze(t), MSEARCH_K, "or")
+          for i, t in enumerate(MSEARCH_QUERIES)]
+    hits = pexec.search_many(idx, qs)
+    return (hits.select(F.col("query_id").cast("long").alias("query_id"),
+                        "doc_id", F.round("score", 4).alias("score"))
+            .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
+
+
+REGISTRY["msearch"] = Entry(fn=msearch, sql=_msearch_sql())
+
+
+# ---------------------------------------------------------------------------
+# phrase suggester — "did you mean" over whole phrases (bigram LM)
+# ---------------------------------------------------------------------------
+
+SP_PREV, SP_INPUT, SP_MAXDIST, SP_N = "data", "bgg", 1, 3
+
+
+def _suggest_phrase_sql() -> str:
+    from .phrase import _POS_CTE
+
+    return f"""
+WITH {_POS_CTE},
+vocab AS (SELECT term, count(DISTINCT doc_id) AS df FROM pos GROUP BY term),
+cand AS (
+  SELECT term, df FROM vocab
+  WHERE levenshtein(term, '{SP_INPUT}') <= {SP_MAXDIST}),
+big AS (
+  SELECT b.term, count(*) AS bigram_freq
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{SP_PREV}' GROUP BY b.term)
+SELECT '{SP_PREV} ' || c.term AS suggestion,
+       CAST(coalesce(g.bigram_freq, 0) AS BIGINT) AS bigram_freq,
+       CAST(c.df AS BIGINT) AS df
+FROM cand c LEFT JOIN big g ON c.term = g.term
+ORDER BY bigram_freq DESC, df DESC, suggestion ASC LIMIT {SP_N}"""
+
+
+def suggest_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phrase suggester (search/suggest/phrase/PhraseSuggester.java): the
+    misspelled token expands to edit-distance candidates from the terms
+    dictionary (like the term suggester), then whole-phrase candidates are
+    ranked by a REAL-WORD language model — here the corpus bigram count
+    with the preceding token, ES's LaplaceScorer shape with df as the
+    unigram tie-break."""
+    from .phrase import positions
+
+    p = positions(spark, sf_dir)
+    vocab = p.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    cand = vocab.where(
+        F.levenshtein("term", F.lit(SP_INPUT)) <= SP_MAXDIST)
+    a = p.where(F.col("term") == SP_PREV).alias("a")
+    b = p.alias("b")
+    big = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                  & (F.col("b.pos") == F.col("a.pos") + 1))
+           .groupBy(F.col("b.term").alias("term"))
+           .agg(F.count("*").alias("bigram_freq")))
+    out = (cand.join(big, "term", "left")
+           .select(F.concat(F.lit(f"{SP_PREV} "), F.col("term"))
+                   .alias("suggestion"),
+                   F.coalesce("bigram_freq", F.lit(0)).cast("long")
+                   .alias("bigram_freq"),
+                   F.col("df").cast("long").alias("df")))
+    return (out.orderBy(F.desc("bigram_freq"), F.desc("df"),
+                        F.asc("suggestion")).limit(SP_N))
+
+
+REGISTRY["suggest_phrase"] = Entry(fn=suggest_phrase,
+                                   sql=_suggest_phrase_sql())
