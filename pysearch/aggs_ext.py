@@ -138,3 +138,52 @@ def pipe_cumulative_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("new_users"))
             .withColumn("cum_users", F.sum("new_users").over(w).cast("long"))
             .orderBy("day"))
+
+
+# ---------------------------------------------------------------------------
+# auto_date_histogram — coordinator-chosen interval from a fixed ladder
+# ---------------------------------------------------------------------------
+
+_ADH_TARGET = 10
+_ADH_LADDER = (60, 300, 1800, 3600, 10800, 43200, 86400, 604800, 2592000)
+
+
+def _adh_sql() -> str:
+    # the CASE mirrors _ADH_LADDER exactly: smallest interval whose
+    # estimated bucket count (epoch-floored) fits the target
+    cases = "\n".join(
+        f"    WHEN mx // {i} - mn // {i} + 1 <= {_ADH_TARGET} THEN {i}"
+        for i in _ADH_LADDER)
+    return f"""
+WITH mm AS (
+  SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS mn,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS mx FROM events),
+sel AS (SELECT CASE\n{cases}
+    ELSE {_ADH_LADDER[-1]} END AS ival FROM mm)
+SELECT CAST(floor(epoch(ts)) AS BIGINT) // ival * ival AS bucket_epoch,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(ival AS BIGINT) AS interval_sec
+FROM events, sel GROUP BY bucket_epoch, ival ORDER BY bucket_epoch"""
+
+
+@_reg("agg_auto_date_histogram", _adh_sql())
+def agg_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """auto_date_histogram (bucket/histogram/
+    AutoDateHistogramAggregationBuilder): the caller gives a target bucket
+    COUNT, not an interval; the engine picks the smallest interval from a
+    fixed ladder whose bucket count fits. ES chooses on the coordinator
+    while reducing shard results — here the same 1-row min/max reduce is
+    collected to the driver and the ladder walk is plain Python; the
+    bucketing itself stays distributed (map-side epoch-floor key, one
+    groupBy shuffle on ~target keys)."""
+    ev = tbl(spark, sf_dir, "events")
+    mm = ev.agg(F.min(F.unix_timestamp("ts")).alias("mn"),
+                F.max(F.unix_timestamp("ts")).alias("mx")).collect()[0]
+    ival = next((i for i in _ADH_LADDER
+                 if mm["mx"] // i - mm["mn"] // i + 1 <= _ADH_TARGET),
+                _ADH_LADDER[-1])
+    bucket = (F.unix_timestamp("ts") / ival).cast("long") * ival
+    return (ev.groupBy(bucket.alias("bucket_epoch"))
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("interval_sec", F.lit(ival).cast("long"))
+            .orderBy("bucket_epoch"))

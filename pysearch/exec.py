@@ -856,25 +856,21 @@ def search_fuzzy(index: Index, term: str, max_dist: int = 2,
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
-def search_wildcard(index: Index, pattern: str,
-                    max_expansions: int = 128) -> DataFrame:
-    """wildcard query (index/query/WildcardQueryBuilder.java / [lucene dep]
-    WildcardQuery): `pattern` uses * (any run) and ? (single char) and is
-    expanded against the TERMS DICTIONARY (Lucene walks an automaton over
-    the terms dict; here a vocab-grain term_stats scan — never postings).
-    Lucene's default multi-term rewrite is CONSTANT_SCORE_REWRITE: every
-    matching doc scores the query boost (1.0), no BM25 — so this decodes
-    docID gaps only, like the count path. The expansion is a
-    <= max_expansions-row driver collect (term asc, deterministic) — the
-    coordinator-side rewrite, exactly where ES does it. A leading literal
-    prefix keeps the vocab scan index-friendly (range-prunable)."""
+def _multi_term_rewrite(index: Index, term_pred,
+                        max_expansions: int) -> DataFrame:
+    """Shared multi-term-query rewrite ([lucene dep] MultiTermQuery,
+    CONSTANT_SCORE_REWRITE): expand `term_pred` (a Column predicate)
+    against the TERMS DICTIONARY — a vocab-grain term_stats scan, never
+    postings — then decode docID gaps only for the expanded term set
+    (no tf/norm decode, no BM25; every matching doc scores the query
+    boost 1.0). The expansion is a <= max_expansions-row driver collect
+    (term asc, deterministic) — the coordinator-side rewrite, exactly
+    where ES does it."""
     import pandas as pd
 
     spark = index.postings.sparkSession
-    like = (pattern.replace("\\", "\\\\").replace("%", "\\%")
-            .replace("_", "\\_").replace("*", "%").replace("?", "_"))
     exp = (index.term_stats.select("term")
-           .where(F.col("term").like(like))
+           .where(term_pred)
            .orderBy(F.asc("term")).limit(max_expansions).collect())
     terms = sorted(r["term"] for r in exp)
     if not terms:
@@ -895,6 +891,37 @@ def search_wildcard(index: Index, pattern: str,
     rel = cand.mapInPandas(decode_ids, schema="doc_id long")
     return (rel.distinct().withColumn("score", F.lit(1.0))
             .orderBy("doc_id"))
+
+
+def search_wildcard(index: Index, pattern: str,
+                    max_expansions: int = 128) -> DataFrame:
+    """wildcard query (index/query/WildcardQueryBuilder.java / [lucene dep]
+    WildcardQuery): `pattern` uses * (any run) and ? (single char); Lucene
+    walks an automaton over the terms dict — here a LIKE predicate on the
+    vocab scan. A leading literal prefix keeps it range-prunable."""
+    like = (pattern.replace("\\", "\\\\").replace("%", "\\%")
+            .replace("_", "\\_").replace("*", "%").replace("?", "_"))
+    return _multi_term_rewrite(index, F.col("term").like(like),
+                               max_expansions)
+
+
+def search_prefix(index: Index, prefix: str,
+                  max_expansions: int = 128) -> DataFrame:
+    """prefix query (index/query/PrefixQueryBuilder.java / [lucene dep]
+    PrefixQuery): the degenerate wildcard `prefix*` — a pure range scan
+    of the terms dictionary (Lucene seeks the terms-dict to the prefix
+    and iterates; the vocab predicate here is sargable the same way)."""
+    return _multi_term_rewrite(index, F.col("term").startswith(prefix),
+                               max_expansions)
+
+
+def search_regexp(index: Index, pattern: str,
+                  max_expansions: int = 128) -> DataFrame:
+    """regexp query (index/query/RegexpQueryBuilder.java / [lucene dep]
+    RegexpQuery): Lucene regexps are ANCHORED — the pattern must match
+    the WHOLE term — so the vocab predicate is rlike with ^...$."""
+    return _multi_term_rewrite(
+        index, F.col("term").rlike(f"^(?:{pattern})$"), max_expansions)
 
 
 def count_matches(index: Index, text_or_terms, mode: str = "or") -> int:

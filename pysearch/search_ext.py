@@ -574,3 +574,80 @@ def suggest_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REGISTRY["suggest_phrase"] = Entry(fn=suggest_phrase,
                                    sql=_suggest_phrase_sql())
+
+
+# ---------------------------------------------------------------------------
+# prefix + regexp queries — the remaining multi-term-rewrite family
+# ---------------------------------------------------------------------------
+
+PREFIX_QUERY = "b"
+
+
+@_reg("q_prefix", f"""
+WITH tok AS (
+  SELECT doc_id, unnest({analysis.duckdb_tokens_nostop_expr('text')}) AS term
+  FROM documents)
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM tok WHERE term LIKE '{PREFIX_QUERY}%'
+ORDER BY doc_id""")
+def q_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """prefix query (PrefixQueryBuilder): terms-dictionary range scan +
+    constant-score docid decode (exec.search_prefix). Distinct from
+    f_prefix (a LIKE filter on a stored keyword column): this one goes
+    through the INDEX — vocab expansion then postings, the multi-term
+    rewrite path."""
+    import __spark_entry__ as em
+
+    from . import exec as pexec
+
+    idx = em._index_for(spark, sf_dir)
+    return pexec.search_prefix(idx, PREFIX_QUERY)
+
+
+REGEXP_QUERY = "[a-c].*"
+
+
+@_reg("q_regexp", f"""
+WITH tok AS (
+  SELECT doc_id, unnest({analysis.duckdb_tokens_nostop_expr('text')}) AS term
+  FROM documents)
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM tok WHERE regexp_full_match(term, '{REGEXP_QUERY}')
+ORDER BY doc_id""")
+def q_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp query (RegexpQueryBuilder): anchored whole-term regex
+    expanded against the terms dictionary (exec.search_regexp), matching
+    Lucene's automaton semantics (pattern matches the entire term, never
+    a substring)."""
+    import __spark_entry__ as em
+
+    from . import exec as pexec
+
+    idx = em._index_for(spark, sf_dir)
+    return pexec.search_regexp(idx, REGEXP_QUERY)
+
+
+# ---------------------------------------------------------------------------
+# rank_feature query — static-signal saturation scoring
+# ---------------------------------------------------------------------------
+
+RF_PIVOT, RF_K = 200.0, 10
+
+
+@_reg("q_rank_feature", f"""
+SELECT doc_id,
+       round(n_chars / (n_chars + {RF_PIVOT}), 4) AS score
+FROM documents
+ORDER BY score DESC, doc_id ASC LIMIT {RF_K}""")
+def q_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank_feature query (index/query/RankFeatureQueryBuilder.java,
+    mapper/extras/RankFeatureFieldMapper upstream): scores documents by a
+    static numeric signal (pagerank/popularity analog: n_chars) through
+    the default SATURATION function s/(s+pivot) — monotone, bounded [0,1),
+    exactly ES's formula. Runs as a pure column expression over the
+    forward index: no postings, no shuffle before the top-k reduce
+    (TakeOrderedAndProject)."""
+    d = tbl(spark, sf_dir, "documents")
+    sat = F.col("n_chars") / (F.col("n_chars") + F.lit(RF_PIVOT))
+    return (d.select("doc_id", F.round(sat, 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(RF_K))
