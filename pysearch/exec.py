@@ -258,18 +258,34 @@ def term_meta(index: Index, terms: list[str]) -> dict[str, tuple[int, int]]:
     return {t: cache[t] for t in terms}
 
 
+def _candidate_blocks(index: Index, terms: list[str]) -> DataFrame | None:
+    """Bucket+term-pruned narrow scan of posting blocks, with NO
+    query-relation join — for paths that only need the block columns
+    (driver-local scoring, counting, multi-term rewrites). Skipping the
+    broadcast build saves a whole Spark job per query (r03 measurement:
+    ~0.4 s at sf0.1). Returns None when no query term exists in the index.
+
+    Bucket pruning: the IN-list on `bucket` prunes parquet partitions when
+    the postings table is disk-backed (postings are partitionBy(bucket))."""
+    terms = sorted(set(terms))
+    meta = term_meta(index, terms)
+    buckets = sorted({b for _, b in meta.values() if b >= 0})
+    if not buckets:
+        return None
+    return index.postings.where(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+
+
 def _candidates(index: Index, queries: list[Query]) -> DataFrame:
     """Posting rows for all query terms, tagged with query_id/weight/k/mode.
 
     Bucket pruning: the IN-list on `bucket` prunes parquet partitions when
     the postings table is disk-backed (postings are partitionBy(bucket))."""
     terms = sorted({t for q in queries for t in q.terms})
-    meta = term_meta(index, terms)
-    buckets = sorted({b for _, b in meta.values() if b >= 0})
     qdf = _queries_df(index, queries)
-    cand = index.postings.where(
-        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
-    )
+    cand = _candidate_blocks(index, terms)
+    if cand is None:
+        cand = index.postings.where(F.lit(False))
     return cand.join(F.broadcast(qdf), "term")
 
 
@@ -331,13 +347,10 @@ def _search_local(index: Index, queries: list[Query]) -> DataFrame:
 
     spark = index.postings.sparkSession
     terms = sorted({t for q in queries for t in q.terms})
-    meta = term_meta(index, terms)
-    buckets = sorted({b for _, b in meta.values() if b >= 0})
-    if not buckets:
+    cand = _candidate_blocks(index, terms)
+    if cand is None:
         return spark.createDataFrame([], HIT_SCHEMA)
-    raw = (index.postings
-           .where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-           .collect())
+    raw = cand.collect()
     if not raw:
         return spark.createDataFrame([], HIT_SCHEMA)
     blocks = pd.DataFrame([r.asDict() for r in raw])
@@ -899,9 +912,10 @@ def _multi_term_rewrite(index: Index, term_pred,
     terms = sorted(r["term"] for r in exp)
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
-    q = Query(0, terms, k=2**31 - 1, mode="or")
-    cand = _candidates(index, [q]).select(
-        "first_doc_id", "docid_gaps", "n_in_block")
+    cand = _candidate_blocks(index, terms)
+    if cand is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    cand = cand.select("first_doc_id", "docid_gaps", "n_in_block")
 
     def decode_ids(batches):
         for pdf in batches:
@@ -961,11 +975,15 @@ def count_matches(index: Index, text_or_terms, mode: str = "or") -> int:
         return 0
     q = Query(0, uniq, k=1, mode=mode)
 
+    cand = _candidate_blocks(index, uniq)
+    if cand is None:
+        return 0
+    cand = cand.select("term", "first_doc_id", "docid_gaps", "n_in_block")
+
     # selective queries: collect the (already tiny) gap columns straight
     # to the driver — one narrow scan job, no shuffle, no Python workers
     if _estimate_postings(index, [q]) <= LOCAL_MAX_POSTINGS:
-        rows = _candidates(index, [q]).select(
-            "term", "first_doc_id", "docid_gaps", "n_in_block").collect()
+        rows = cand.collect()
         per_term: dict[str, list] = {}
         for r in rows:
             per_term.setdefault(r["term"], []).append(r)
@@ -986,9 +1004,6 @@ def count_matches(index: Index, text_or_terms, mode: str = "or") -> int:
                 acc = np.intersect1d(acc, s, assume_unique=True)
             return int(len(acc))
         return int(len(np.unique(np.concatenate(sets))))
-
-    cand = _candidates(index, [q]).select(
-        "term", "first_doc_id", "docid_gaps", "n_in_block")
 
     def decode_ids(batches):
         for pdf in batches:
