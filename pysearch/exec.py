@@ -48,7 +48,10 @@ HIT_SCHEMA = T.StructType([
     T.StructField("score", T.DoubleType(), False),
 ])
 
-GATHER_MAX_POSTINGS = 2_000_000  # est. candidate postings above which we go distributed
+# Between the driver-local cap and this, blocks shuffle to ONE task per query
+# (executor-side MAXSCORE — off the driver but still single-task); above it,
+# fully distributed decode+score. 20M postings ≈ 160k block rows per task.
+GATHER_MAX_POSTINGS = 20_000_000
 TERM_DICT_CACHE_MAX = 200_000    # full term-dict driver cache below this vocab size
 
 
@@ -289,7 +292,15 @@ def _candidates(index: Index, queries: list[Query]) -> DataFrame:
     return cand.join(F.broadcast(qdf), "term")
 
 
-LOCAL_MAX_POSTINGS = 200_000  # below this, gather to the DRIVER (one narrow job)
+# Below this Σdf the candidate blocks are gathered to the DRIVER (one narrow
+# scan job) and scored in numpy — the ES coordinator-gather shape. The cap is
+# a coordinator-memory knob, not a correctness bound: 2M postings is ~16k
+# encoded block rows (~tens of MB collected), decoded+MAXSCOREd in well under
+# a second, and beats the distributed path's multi-job floor by ~7× (r03
+# measurement at 600k postings: 0.85 s local vs 6.4 s distributed on
+# local[8]). Truly hot terms at 10^12-doc scale (billions of postings) still
+# route to gather/distributed via the estimate.
+LOCAL_MAX_POSTINGS = 2_000_000
 
 
 def search_many(index: Index, queries: list[Query], method: str = "auto") -> DataFrame:
