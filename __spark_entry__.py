@@ -284,15 +284,32 @@ _SENTINELS = [
 ]
 
 
-def _green_keys() -> set[str]:
-    """Keys with an all-true row in any committed CORRECTNESS_r*.json."""
+def _correctness_files() -> list[str]:
+    """GIT-TRACKED CORRECTNESS_r*.json paths (r03 advice: a stale or
+    uncommitted local file must not silently demote keys out of the
+    window). Falls back to the glob when git is unavailable."""
     import glob
-    import json
     import os
+    import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            ["git", "-C", here, "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True, text=True, timeout=10, check=True).stdout
+        return sorted(os.path.join(here, p) for p in out.split() if p)
+    except Exception:
+        return sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+
+
+def _green_keys() -> tuple[set[str], int]:
+    """(keys with an all-true row in any committed CORRECTNESS_r*.json,
+    number of committed rounds)."""
+    import json
+
+    files = _correctness_files()
     green: set[str] = set()
-    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    for p in files:
         try:
             with open(p) as f:
                 rows = json.load(f)
@@ -301,16 +318,27 @@ def _green_keys() -> set[str]:
         green |= {k for k, v in rows.items()
                   if isinstance(v, dict) and v.get("rows_match")
                   and v.get("schema_match") and v.get("hash_match")}
-    return green
+    return green, len(files)
 
 
 def _ordered(d: dict) -> dict:
-    green = _green_keys()
+    """Driver check-window policy (50 rows, registration order):
+    1. never-green keys (new/failed) — must be verified first;
+    2. _SENTINELS — load-bearing regression canaries, every round;
+    3. remaining proven-green keys ROTATED deterministically by round
+       index (md5(key:round)) so the tail of the window re-checks a
+       different slice of the green set each round instead of always
+       the same registration-order prefix (r03 advice)."""
+    import hashlib
+
+    green, n_rounds = _green_keys()
     unproven = [k for k in d if k not in green]
     sentinels = [k for k in _SENTINELS if k in d and k in green]
-    out = {k: d[k] for k in unproven + sentinels}
-    out.update(d)
-    return out
+    head = set(unproven) | set(sentinels)
+    rest = sorted(
+        (k for k in d if k not in head),
+        key=lambda k: hashlib.md5(f"{k}:{n_rounds}".encode()).hexdigest())
+    return {k: d[k] for k in unproven + sentinels + rest}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -58,7 +58,10 @@ def _ident(rng) -> str:
 
 
 def gen_doc(doc_id: int, min_lines: int = 10, max_lines: int = 60) -> dict:
-    rng = np.random.default_rng(np.uint64(doc_id) * np.uint64(0x9E3779B97F4A7C15) + np.uint64(_SEED))
+    # intended uint64 wraparound for the seed mix — reduce in Python int
+    # space (mod 2^64) so numpy never sees an overflowing scalar multiply
+    seed = (doc_id * 0x9E3779B97F4A7C15 + _SEED) % (1 << 64)
+    rng = np.random.default_rng(np.uint64(seed))
     n_lines = int(rng.integers(min_lines, max_lines + 1))
     lines = []
     for _ in range(n_lines):

@@ -867,6 +867,8 @@ def search_multi_match_cross(field_indexes: dict[str, "Index"],
                      .otherwise(scale))
         per_field.append(scored.select(
             "doc_id", "term", (F.col("score") * scale).alias("fscore")))
+    if not per_field:  # no query term present in ANY field index
+        return spark.createDataFrame([], "doc_id long, score double")
     u = per_field[0]
     for rel in per_field[1:]:
         u = u.unionByName(rel)

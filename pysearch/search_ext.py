@@ -378,15 +378,19 @@ _WILDCARD_LIKE = WILDCARD_PATTERN.replace("*", "%").replace("?", "_")
 @_reg("q_wildcard", f"""
 WITH tok AS (
   SELECT doc_id, unnest({analysis.duckdb_tokens_nostop_expr('text')}) AS term
-  FROM documents)
-SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score
-FROM tok WHERE term LIKE '{_WILDCARD_LIKE}'
+  FROM documents),
+exp AS (
+  SELECT DISTINCT term FROM tok WHERE term LIKE '{_WILDCARD_LIKE}'
+  ORDER BY term ASC LIMIT 128)
+SELECT DISTINCT t.doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM tok t JOIN exp USING (term)
 ORDER BY doc_id""")
 def q_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """wildcard query (WildcardQueryBuilder): pattern expanded against the
     terms dictionary, docs scored CONSTANT (Lucene CONSTANT_SCORE_REWRITE).
-    The oracle expresses the same relation directly: docs containing any
-    term matching the pattern."""
+    The oracle expresses the same relation directly — INCLUDING the engine's
+    deterministic max_expansions=128 vocab cap (term asc), so engine and
+    oracle compute the same relation at any vocabulary size."""
     import __spark_entry__ as em
 
     from . import exec as pexec
@@ -586,9 +590,12 @@ PREFIX_QUERY = "b"
 @_reg("q_prefix", f"""
 WITH tok AS (
   SELECT doc_id, unnest({analysis.duckdb_tokens_nostop_expr('text')}) AS term
-  FROM documents)
-SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score
-FROM tok WHERE term LIKE '{PREFIX_QUERY}%'
+  FROM documents),
+exp AS (
+  SELECT DISTINCT term FROM tok WHERE term LIKE '{PREFIX_QUERY}%'
+  ORDER BY term ASC LIMIT 128)
+SELECT DISTINCT t.doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM tok t JOIN exp USING (term)
 ORDER BY doc_id""")
 def q_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """prefix query (PrefixQueryBuilder): terms-dictionary range scan +
@@ -610,9 +617,12 @@ REGEXP_QUERY = "[a-c].*"
 @_reg("q_regexp", f"""
 WITH tok AS (
   SELECT doc_id, unnest({analysis.duckdb_tokens_nostop_expr('text')}) AS term
-  FROM documents)
-SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score
-FROM tok WHERE regexp_full_match(term, '{REGEXP_QUERY}')
+  FROM documents),
+exp AS (
+  SELECT DISTINCT term FROM tok WHERE regexp_full_match(term, '{REGEXP_QUERY}')
+  ORDER BY term ASC LIMIT 128)
+SELECT DISTINCT t.doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM tok t JOIN exp USING (term)
 ORDER BY doc_id""")
 def q_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """regexp query (RegexpQueryBuilder): anchored whole-term regex

@@ -186,7 +186,7 @@ def test_check_order_is_never_green_then_sentinels():
 
     qs = em.queries()
     keys = list(qs)
-    green = em._green_keys()
+    green, _ = em._green_keys()
     unproven = {k for k in qs if k not in green}
     assert set(keys[:len(unproven)]) == unproven, (
         "an unproven key is ordered after a proven one")
