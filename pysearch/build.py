@@ -68,6 +68,45 @@ POSTINGS_ID_SCHEMA = T.StructType(
     + [f for f in POSTINGS_SCHEMA.fields if f.name != "term"])
 
 
+#: positional postings — one row per (term, doc): positions of every
+#: occurrence, ascending. The bucket uses crc32 (not xxhash64) so the
+#: COORDINATOR can compute a term's bucket in pure Python (zlib.crc32)
+#: and emit the partition-pruning predicate without an extra Spark job.
+POSITIONS_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("poss", T.ArrayType(T.IntegerType()), False),
+    T.StructField("bucket", T.IntegerType(), False),
+])
+
+
+def pos_bucket_col(term_col, n_buckets: int):
+    """Spark column: positional-index bucket of a term column."""
+    return F.pmod(F.crc32(term_col.cast("binary")), F.lit(n_buckets)).cast("int")
+
+
+def pos_bucket_of(term: str, n_buckets: int) -> int:
+    """Driver-side bucket of a literal term — matches pos_bucket_col
+    exactly (Spark crc32 == zlib.crc32 on UTF-8 bytes)."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def positions_frame(flat: DataFrame, n_buckets: int) -> DataFrame:
+    """(doc_id, pos, term) occurrence rows -> POSITIONS_SCHEMA.
+
+    The positional analog of the postings encode ([lucene dep]
+    Lucene84PostingsWriter writes a position stream next to the doc/freq
+    stream; ExactPhraseMatcher reads it — SURVEY §2.4 phrase family).
+    One shuffle at occurrence grain (same grain as the tf groupBy), then
+    positions are carried as a sorted array per (term, doc)."""
+    return (flat.groupBy("term", "doc_id")
+            .agg(F.sort_array(F.collect_list("pos")).alias("poss"))
+            .withColumn("bucket", pos_bucket_col(F.col("term"), n_buckets))
+            .select("term", "doc_id", "poss", "bucket"))
+
+
 @dataclass
 class Stats:
     n_docs: int
@@ -89,6 +128,7 @@ class Index:
     b: float = analysis.B
     n_buckets: int = DEFAULT_BUCKETS
     meta: dict = field(default_factory=dict)
+    positions: DataFrame | None = None  # POSITIONS_SCHEMA (phrase family)
 
 
 def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,6 +282,7 @@ def build_index(
     cache: bool = True,
     broadcast_dims: bool = True,
     dict_encode: bool = False,
+    with_positions: bool = False,
 ) -> Index:
     """Build all index tables from a corpus DataFrame (not yet written out).
 
@@ -392,11 +433,22 @@ def build_index(
     if cache:
         postings = postings.persist()
 
+    # ---- positional postings (optional: phrase/span/suggest family).
+    # Derived from the SAME token stream; one extra occurrence-grain
+    # shuffle, bucket-partitioned for query-side partition pruning.
+    pos_df = None
+    if with_positions:
+        pos_df = positions_frame(
+            tokens.select("doc_id",
+                          F.posexplode("tokens").alias("pos", "term")),
+            n_buckets)
+
     return Index(
         docs=docs, postings=postings, term_stats=term_stats, stats=stats,
         k1=k1, b=b, n_buckets=n_buckets,
         meta={"tokenizer": tokenizer, "salt_threshold": salt_threshold,
               "n_salts": n_salts},
+        positions=pos_df,
     )
 
 
@@ -422,12 +474,13 @@ def write_index(index: Index, out_dir: str, resume: bool = True) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.time()
     wrote = []
-    for name in _TABLES:
+    tables = _TABLES + (("positions",) if index.positions is not None else ())
+    for name in tables:
         path = os.path.join(out_dir, name)
         if resume and _done(path):
             continue
         df = getattr(index, name)
-        if name == "postings":
+        if name in ("postings", "positions"):
             df.write.mode("overwrite").partitionBy("bucket").parquet(path)
         else:
             df.write.mode("overwrite").parquet(path)
@@ -473,10 +526,12 @@ def write_index(index: Index, out_dir: str, resume: bool = True) -> dict:
 def load_index(spark: SparkSession, out_dir: str) -> Index:
     with open(os.path.join(out_dir, "manifest.json")) as f:
         m = json.load(f)
+    pos_path = os.path.join(out_dir, "positions")
     return Index(
         docs=spark.read.parquet(os.path.join(out_dir, "docs")),
         postings=spark.read.parquet(os.path.join(out_dir, "postings")),
         term_stats=spark.read.parquet(os.path.join(out_dir, "term_stats")),
         stats=Stats(n_docs=m["n_docs"], sum_dl=m["sum_dl"]),
         k1=m["k1"], b=m["b"], n_buckets=m["n_buckets"], meta=m.get("meta", {}),
+        positions=(spark.read.parquet(pos_path) if _done(pos_path) else None),
     )

@@ -6,21 +6,50 @@ within `slop` moves (sloppy). Positions are 0-based indexes into the
 POST-analysis token stream (stopwords removed before position assignment —
 matches how dl is counted, SURVEY §8.7).
 
-Spark formulation: positions are a (doc_id, pos, term) relation derived by
-posexplode; a phrase [t0, t1] is a self-join on (doc_id, pos+1). This is
-exactly the positional-postings intersection Lucene runs, expressed
-relationally so Catalyst plans it (broadcast/shuffle-hash as appropriate).
-At scale the positions relation is precomputed once per segment next to
-the postings table, not re-derived per query."""
+Spark formulation: positions live in a PERSISTED positional-postings
+table (term, doc_id, poss array<int>, bucket) written ONCE per corpus —
+bucket-partitioned parquet, bucket = crc32(term) % N so the coordinator
+derives the partition-pruning predicate in pure Python (build.py
+POSITIONS_SCHEMA; [lucene dep] Lucene84PostingsWriter's position stream
+next to the doc/freq stream). A phrase [t0, t1] is a join of the two
+terms' bucket-pruned position rows on (doc_id, pos+1) — the
+ExactPhraseMatcher intersection, expressed relationally so Catalyst
+plans it. Queries NEVER re-tokenize documents (the r03 plan audit's one
+remaining scale-killer: posexplode of content at query time was a full
+corpus scan + tokenize per phrase query)."""
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from . import analysis
+from . import analysis, build
 from .registry import Entry, tbl
 
 REGISTRY: dict[str, Entry] = {}
+
+N_POS_BUCKETS = 16
+
+#: field name -> Spark column over documents.text (mirrors _MMP_FIELDS)
+_FIELD_COLS = {
+    "content": lambda: F.col("text"),
+    "title": lambda: F.substring("text", 1, 80),
+}
+
+#: (sf_dir, field) -> parquet path of the persisted positional index
+_POS_STORE: dict[tuple[str, str], str] = {}
+
+
+def _cleanup_pos_store():
+    for path in _POS_STORE.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _POS_STORE.clear()
+
+
+atexit.register(_cleanup_pos_store)
 
 
 def _reg(name: str, sql: str | None):
@@ -30,12 +59,43 @@ def _reg(name: str, sql: str | None):
     return deco
 
 
-def positions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, pos, term) — positional index of the documents table."""
-    d = tbl(spark, sf_dir, "documents")
-    return (d.select("doc_id",
-                     F.posexplode(analysis.tokens_expr(F.col("text")))
-                     .alias("pos", "term")))
+def positions_table(spark: SparkSession, sf_dir: str,
+                    field: str = "content") -> DataFrame:
+    """The persisted positional-postings table (term, doc_id, poss,
+    bucket) for one corpus field — built and written exactly once per
+    (sf_dir, field) per process, read back from bucket-partitioned
+    parquet so term lookups partition-prune to 1 of N_POS_BUCKETS dirs."""
+    key = (sf_dir.rstrip("/"), field)
+    if key not in _POS_STORE:
+        d = tbl(spark, sf_dir, "documents")
+        flat = d.select(
+            "doc_id",
+            F.posexplode(analysis.tokens_expr(_FIELD_COLS[field]()))
+            .alias("pos", "term"))
+        path = tempfile.mkdtemp(prefix="pysearch_positions_")
+        (build.positions_frame(flat, N_POS_BUCKETS)
+         .write.mode("overwrite").partitionBy("bucket").parquet(path))
+        _POS_STORE[key] = path
+    return spark.read.parquet(_POS_STORE[key])
+
+
+def positions(spark: SparkSession, sf_dir: str,
+              field: str = "content") -> DataFrame:
+    """(doc_id, pos, term) — flat view of the positional index, for
+    consumers that need unrestricted positions (e.g. suggest_phrase's
+    bigram LM). Scans the persisted store, not the corpus."""
+    return positions_table(spark, sf_dir, field).select(
+        "doc_id", F.explode("poss").alias("pos"), "term")
+
+
+def term_positions(spark: SparkSession, sf_dir: str, term: str,
+                   field: str = "content") -> DataFrame:
+    """(doc_id, pos) occurrences of one term — bucket partition-pruned
+    scan (1 of N_POS_BUCKETS dirs) + term predicate pushdown."""
+    t = positions_table(spark, sf_dir, field)
+    b = build.pos_bucket_of(term, N_POS_BUCKETS)
+    return (t.where((F.col("bucket") == b) & (F.col("term") == term))
+            .select("doc_id", F.explode("poss").alias("pos")))
 
 
 _POS_CTE = f"""
@@ -53,9 +113,8 @@ def _phrase_pair(t0: str, t1: str, slop: int):
     slop=0 → exact adjacency (pos1 == pos0+1); slop>0 → Lucene-sloppy-ish:
     t1 within (pos0+1 .. pos0+1+slop), order preserved."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        p = positions(spark, sf_dir)
-        a = p.where(F.col("term") == t0).alias("a")
-        b = p.where(F.col("term") == t1).alias("b")
+        a = term_positions(spark, sf_dir, t0).alias("a")
+        b = term_positions(spark, sf_dir, t1).alias("b")
         cond = ((F.col("a.doc_id") == F.col("b.doc_id"))
                 & (F.col("b.pos") >= F.col("a.pos") + 1)
                 & (F.col("b.pos") <= F.col("a.pos") + 1 + slop))
@@ -81,11 +140,15 @@ def _phrase_prefix(t0: str, prefix: str):
     """match_phrase_prefix (MatchPhrasePrefixQueryBuilder.java): the last
     position holds a PREFIX match over the terms dictionary — the
     search-as-you-type query. Expressed as the positional pair join with
-    startswith on the trailing leg."""
+    startswith on the trailing leg (the prefix leg spans buckets — a
+    prefix does not determine the term hash — so it scans the positions
+    table with the startswith pushed to parquet, like Lucene's
+    terms-dict-wide prefix expansion)."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        p = positions(spark, sf_dir)
-        a = p.where(F.col("term") == t0).alias("a")
-        b = p.where(F.col("term").startswith(prefix)).alias("b")
+        a = term_positions(spark, sf_dir, t0).alias("a")
+        b = (positions_table(spark, sf_dir)
+             .where(F.col("term").startswith(prefix))
+             .select("doc_id", F.explode("poss").alias("pos")).alias("b"))
         return (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
                        & (F.col("b.pos") == F.col("a.pos") + 1))
                 .groupBy(F.col("a.doc_id").alias("doc_id"))
@@ -116,9 +179,9 @@ REGISTRY["q_phrase_prefix"] = Entry(
 # that field's own dl/avgdl statistics.
 # ---------------------------------------------------------------------------
 
-_MMP_FIELDS = {  # field name -> (Spark column fn, DuckDB text expression)
-    "content": (lambda: F.col("text"), "text"),
-    "title": (lambda: F.substring("text", 1, 80), "substr(text, 1, 80)"),
+_MMP_FIELDS = {  # field name -> DuckDB text expression (Spark: _FIELD_COLS)
+    "content": "text",
+    "title": "substr(text, 1, 80)",
 }
 _MMP_BOOSTS = {"title": 2.0}
 _MMP_TB = 0.3
@@ -126,36 +189,43 @@ _MMP_TB = 0.3
 
 def _mm_phrase(t0: str, t1: str, k: int):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import math
+
         from . import codec
 
         d = tbl(spark, sf_dir, "documents")
         k1, b = analysis.K1, analysis.B
+        # n counts ALL docs (zero-token docs included) — shared by fields
+        n = float(d.count())
         per_field = []
-        for fname, (fcol, _) in _MMP_FIELDS.items():
+        for fname in _MMP_FIELDS:
             w = float(_MMP_BOOSTS.get(fname, 1.0))
-            toks = analysis.tokens_expr(fcol())
-            pos = d.select("doc_id", F.posexplode(toks).alias("pos", "term"))
-            # field stats: N, avgdl (zero-token docs count), member-term dfs
-            srow = d.select(F.size(toks).alias("dl")).agg(
-                F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-            n, avgdl = float(srow["n"]), float(srow["avgdl"])
-            dfs = {r["term"]: float(r["cnt"]) for r in
-                   pos.where(F.col("term").isin(t0, t1)).groupBy("term")
-                   .agg(F.count_distinct("doc_id").alias("cnt")).collect()}
-            if t0 not in dfs or t1 not in dfs:
+            pt = positions_table(spark, sf_dir, fname)
+            # ONE stats job per field over the (term, doc)-grain positional
+            # index: sum_dl (avgdl numerator) + both member-term dfs (a
+            # (term, doc) row count IS the df) — no corpus re-tokenize.
+            st = pt.agg(
+                F.coalesce(F.sum(F.size("poss")), F.lit(0)).alias("sum_dl"),
+                F.count(F.when(F.col("term") == t0, 1)).alias("df0"),
+                F.count(F.when(F.col("term") == t1, 1)).alias("df1"),
+            ).collect()[0]
+            avgdl = float(st["sum_dl"]) / n
+            dfs = {t0: float(st["df0"]), t1: float(st["df1"])}
+            if dfs[t0] == 0 or dfs[t1] == 0:
                 continue  # phrase cannot match in this field
-            import math
-
             idf_sum = sum(
                 math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
                 for t in (t0, t1))
-            a = pos.where(F.col("term") == t0).alias("a")
-            bb = pos.where(F.col("term") == t1).alias("b")
+            a = term_positions(spark, sf_dir, t0, field=fname).alias("a")
+            bb = term_positions(spark, sf_dir, t1, field=fname).alias("b")
             ptf = (a.join(bb, (F.col("a.doc_id") == F.col("b.doc_id"))
                           & (F.col("b.pos") == F.col("a.pos") + 1))
                    .groupBy(F.col("a.doc_id").alias("doc_id"))
                    .agg(F.count("*").cast("double").alias("ptf")))
-            dl = d.select("doc_id", F.size(toks).cast("long").alias("dl"))
+            # per-doc field length from the positional index (inner join:
+            # only phrase-matching docs need dl, and those have tokens)
+            dl = (pt.groupBy("doc_id")
+                  .agg(F.sum(F.size("poss")).cast("long").alias("dl")))
             dlq = F.expr(codec.spark_dlq_sql("dl")).cast("double")
             scored = (ptf.join(dl, "doc_id")
                       .select("doc_id",
@@ -182,7 +252,7 @@ def _mm_phrase_sql(t0: str, t1: str, k: int) -> str:
 
     k1, b = analysis.K1, analysis.B
     frags, branches = [], []
-    for i, (fname, (_, fexpr)) in enumerate(_MMP_FIELDS.items()):
+    for i, (fname, fexpr) in enumerate(_MMP_FIELDS.items()):
         p = f"f{i}_"
         w = float(_MMP_BOOSTS.get(fname, 1.0))
         dlq = codec.duckdb_dlq_expr(f"{p}dl.dl")

@@ -553,15 +553,18 @@ def suggest_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     dictionary (like the term suggester), then whole-phrase candidates are
     ranked by a REAL-WORD language model — here the corpus bigram count
     with the preceding token, ES's LaplaceScorer shape with df as the
-    unigram tie-break."""
-    from .phrase import positions
+    unigram tie-break. Reads the persisted positional index (phrase.py):
+    vocab df is a (term, doc)-grain row count, the bigram leg joins the
+    bucket-pruned SP_PREV positions against the flat position view —
+    no corpus re-tokenize."""
+    from .phrase import positions, positions_table, term_positions
 
-    p = positions(spark, sf_dir)
-    vocab = p.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    pt = positions_table(spark, sf_dir)
+    vocab = pt.groupBy("term").agg(F.count("*").alias("df"))
     cand = vocab.where(
         F.levenshtein("term", F.lit(SP_INPUT)) <= SP_MAXDIST)
-    a = p.where(F.col("term") == SP_PREV).alias("a")
-    b = p.alias("b")
+    a = term_positions(spark, sf_dir, SP_PREV).alias("a")
+    b = positions(spark, sf_dir).alias("b")
     big = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
                   & (F.col("b.pos") == F.col("a.pos") + 1))
            .groupBy(F.col("b.term").alias("term"))

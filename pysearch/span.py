@@ -9,19 +9,18 @@ Reference anchors (upstream ES tree):
     the span must END within the first `end` positions of the field
     (a single-term span at pos p has end p+1).
 
-Spark formulation: same (doc_id, pos, term) positional relation as
-phrase.py (posexplode over the analysis chain), matched with a self-join
-whose band predicate Catalyst turns into a doc_id-keyed join + filter.
-At scale the positions relation is the per-segment positional postings
-table, and the join is co-partitioned on doc_id — identical shape to
-q_phrase, which holds its plan at 100x (BENCH/PLANS.md).
+Spark formulation: reads the PERSISTED positional-postings table
+(phrase.positions_table — bucket-partitioned parquet, crc32 buckets),
+matched with a join whose band predicate Catalyst turns into a
+doc_id-keyed join + filter. Term legs partition-prune to 1 of
+N_POS_BUCKETS dirs; no query-time re-tokenize (r03 plan-audit fix).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .phrase import _POS_CTE, positions
+from .phrase import _POS_CTE, term_positions
 from .registry import Entry
 
 REGISTRY: dict[str, Entry] = {}
@@ -50,9 +49,8 @@ def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """span_near(in_order=false): SPAN_T0 and SPAN_T1 within SPAN_SLOP
     positions in either order; n_spans counts the matching position
     pairs (Lucene's sloppy-freq numerator)."""
-    p = positions(spark, sf_dir)
-    a = p.where(F.col("term") == SPAN_T0).alias("a")
-    b = p.where(F.col("term") == SPAN_T1).alias("b")
+    a = term_positions(spark, sf_dir, SPAN_T0).alias("a")
+    b = term_positions(spark, sf_dir, SPAN_T1).alias("b")
     cond = ((F.col("a.doc_id") == F.col("b.doc_id"))
             & (F.abs(F.col("a.pos") - F.col("b.pos")) - 1 <= SPAN_SLOP)
             & (F.col("a.pos") != F.col("b.pos")))
@@ -71,9 +69,8 @@ GROUP BY doc_id ORDER BY doc_id""")
 def q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """span_first: SPAN_FIRST_TERM occurrences whose span end (pos+1)
     falls within the first SPAN_FIRST_END positions of the document."""
-    p = positions(spark, sf_dir)
-    return (p.where((F.col("term") == SPAN_FIRST_TERM)
-                    & (F.col("pos") + 1 <= SPAN_FIRST_END))
+    p = term_positions(spark, sf_dir, SPAN_FIRST_TERM)
+    return (p.where(F.col("pos") + 1 <= SPAN_FIRST_END)
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_spans"))
             .orderBy("doc_id"))
