@@ -83,7 +83,7 @@ def _registries():
     mods = []
     for m in ("relational", "dedup", "similarity", "textstats", "multimodal",
               "phrase", "ingest", "analysis_ext", "search_ext", "streaming",
-              "geo", "aggs_ext", "span", "percolate"):
+              "geo", "aggs_ext", "span", "percolate", "lifecycle"):
         try:
             mods.append(importlib.import_module(f"pysearch.{m}"))
         except ImportError:

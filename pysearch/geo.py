@@ -209,3 +209,68 @@ def agg_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pts.groupBy(tile.alias("tile"))
             .agg(F.count("*").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("tile")).limit(10))
+
+
+# ---------------------------------------------------------------------------
+# geo_polygon — point-in-polygon filter (closes §2.5: the last geo item)
+# ---------------------------------------------------------------------------
+
+#: polygon vertices as (lon, lat) — offsets of .005 keep every edge off
+#: the 0.01-degree synthetic coordinate grid (no point ever sits ON an
+#: edge, so ray-casting parity is unambiguous in both engines)
+POLYGON = (
+    (-50.005, 10.005),
+    (-20.005, 60.005),
+    (30.005, 50.005),
+    (40.005, -5.005),
+    (-10.005, -20.005),
+)
+
+
+def _poly_crossing_terms():
+    """Per-edge ray-cast predicates with the slope PRE-COMPUTED in Python
+    (both engines then evaluate the identical double constants — no
+    cross-libm division drift). Edge (x1,y1)->(x2,y2) crosses the
+    +x ray from (lon, lat) iff (y1 > lat) != (y2 > lat) and
+    lon < slope*(lat - y1) + x1."""
+    edges = list(zip(POLYGON, POLYGON[1:] + POLYGON[:1]))
+    out = []
+    for (x1, y1), (x2, y2) in edges:
+        slope = (x2 - x1) / (y2 - y1)  # y1 != y2 for every POLYGON edge
+        out.append((x1, y1, x2, y2, slope))
+    return out
+
+
+def _poly_sql_pred() -> str:
+    terms = [
+        f"(CASE WHEN (({y1!r} > lat) <> ({y2!r} > lat))"
+        f" AND lon < {slope!r} * (lat - {y1!r}) + {x1!r}"
+        f" THEN 1 ELSE 0 END)"
+        for x1, y1, x2, y2, slope in _poly_crossing_terms()]
+    return f"({' + '.join(terms)}) % 2 = 1"
+
+
+def _poly_col():
+    lat, lon = F.col("lat"), F.col("lon")
+    crossings = F.lit(0)
+    for x1, y1, x2, y2, slope in _poly_crossing_terms():
+        hit = (((F.lit(y1) > lat) != (F.lit(y2) > lat))
+               & (lon < F.lit(slope) * (lat - F.lit(y1)) + F.lit(x1)))
+        crossings = crossings + hit.cast("int")
+    return crossings % 2 == 1
+
+
+@_reg("geo_polygon", f"""
+WITH pts AS (
+  SELECT c_custkey, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM customer)
+SELECT c_custkey, lat, lon FROM pts
+WHERE {_poly_sql_pred()}
+ORDER BY c_custkey""")
+def geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_polygon filter (index/query/GeoPolygonQueryBuilder.java):
+    customers whose point falls inside a fixed 5-vertex polygon, decided
+    by even-odd ray casting ([lucene dep] o.a.l.geo.Polygon2D contains).
+    Pure column arithmetic over the derived lat/lon — one narrow
+    projected scan + filter, no shuffle, same plan shape as geo_bbox."""
+    pts = _latlon(tbl(spark, sf_dir, "customer"))
+    return pts.where(_poly_col()).orderBy("c_custkey")

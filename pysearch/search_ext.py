@@ -664,3 +664,37 @@ def q_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     sat = F.col("n_chars") / (F.col("n_chars") + F.lit(RF_PIVOT))
     return (d.select("doc_id", F.round(sat, 4).alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(RF_K))
+
+
+# ---------------------------------------------------------------------------
+# completion suggester — weighted prefix top-N (closes the suggest family)
+# ---------------------------------------------------------------------------
+
+SC_PREFIX, SC_N = "co", 5
+
+
+@_reg("suggest_completion", f"""
+WITH tok AS (
+  SELECT unnest({analysis.duckdb_tokens_nostop_expr('text')}) AS term
+  FROM documents),
+w AS (
+  SELECT term, count(*) AS weight FROM tok
+  WHERE term LIKE '{SC_PREFIX}%' GROUP BY term)
+SELECT term, CAST(weight AS BIGINT) AS weight FROM w
+ORDER BY weight DESC, term ASC LIMIT {SC_N}""")
+def suggest_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """completion suggester (search/suggest/completion/
+    CompletionSuggester.java upstream): search-as-you-type — the top-N
+    heaviest dictionary entries under a prefix. ES stores an FST of
+    (surface form, weight) built at index time and walks the prefix arc;
+    the relational analog is the build-time terms dictionary (term_stats,
+    weight = cf, the collection frequency) under a sargable prefix
+    predicate — a vocab-grain scan, never postings. The oracle re-derives
+    the dictionary + weights from the raw corpus."""
+    import __spark_entry__ as em
+
+    idx = em._index_for(spark, sf_dir)
+    return (idx.term_stats
+            .where(F.col("term").startswith(SC_PREFIX))
+            .select("term", F.col("cf").cast("long").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("term")).limit(SC_N))

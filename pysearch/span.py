@@ -8,6 +8,19 @@ Reference anchors (upstream ES tree):
   * span_first — index/query/SpanFirstQueryBuilder (SpanFirstQuery):
     the span must END within the first `end` positions of the field
     (a single-term span at pos p has end p+1).
+  * span_or — index/query/SpanOrQueryBuilder (SpanOrQuery): the UNION of
+    the component span streams, per doc.
+  * span_not — index/query/SpanNotQueryBuilder (SpanNotQuery): include
+    spans that do NOT fall within `pre` positions before / `post` after
+    any exclusion span.
+  * intervals — index/query/IntervalQueryBuilder (r03 VERDICT missing
+    item 3; [lucene dep] o.a.l.queries.intervals.Intervals): ordered /
+    unordered term combination with max_gaps. For two single-term
+    sources, a doc matches iff a position pair exists with
+    gaps = width - 2 <= max_gaps (ordered additionally requires
+    pos(t0) < pos(t1)); n_pairs counts the qualifying pairs (the doc set
+    equals Lucene's minimal-interval semantics for two terms, since a
+    minimal interval exists iff any qualifying pair does).
 
 Spark formulation: reads the PERSISTED positional-postings table
 (phrase.positions_table — bucket-partitioned parquet, crc32 buckets),
@@ -73,4 +86,108 @@ def q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (p.where(F.col("pos") + 1 <= SPAN_FIRST_END)
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_spans"))
+            .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# span_or / span_not — unions and exclusions over the positional relation
+# ---------------------------------------------------------------------------
+
+SPAN_OR_T0, SPAN_OR_T1 = "merge", "sort"
+SPAN_NOT_INC, SPAN_NOT_EXC, SPAN_NOT_WIN = "merge", "batch", 1
+
+
+@_reg("q_span_or", f"""
+WITH {_POS_CTE}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+FROM pos WHERE term IN ('{SPAN_OR_T0}', '{SPAN_OR_T1}')
+GROUP BY doc_id ORDER BY doc_id""")
+def q_span_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_or: union of the two single-term span streams — every
+    occurrence of either term counts. Both legs are bucket-pruned scans
+    of the persisted positional index, unioned before one doc_id agg."""
+    a = term_positions(spark, sf_dir, SPAN_OR_T0)
+    b = term_positions(spark, sf_dir, SPAN_OR_T1)
+    return (a.unionByName(b)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_spans"))
+            .orderBy("doc_id"))
+
+
+@_reg("q_span_not", f"""
+WITH {_POS_CTE}
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_spans
+FROM pos a
+WHERE a.term = '{SPAN_NOT_INC}'
+  AND NOT EXISTS (
+    SELECT 1 FROM pos e
+    WHERE e.doc_id = a.doc_id AND e.term = '{SPAN_NOT_EXC}'
+      AND abs(e.pos - a.pos) <= {SPAN_NOT_WIN})
+GROUP BY a.doc_id ORDER BY a.doc_id""")
+def q_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_not(pre=post=SPAN_NOT_WIN): include-term occurrences with NO
+    exclusion-term occurrence within the window — a left_anti band join
+    of two bucket-pruned position streams (Lucene's SpanNotQuery skips
+    include spans overlapping the [pre, post]-widened exclusion span)."""
+    a = term_positions(spark, sf_dir, SPAN_NOT_INC).alias("a")
+    e = term_positions(spark, sf_dir, SPAN_NOT_EXC).alias("e")
+    cond = ((F.col("a.doc_id") == F.col("e.doc_id"))
+            & (F.abs(F.col("e.pos") - F.col("a.pos")) <= SPAN_NOT_WIN))
+    return (a.join(e, cond, "left_anti")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_spans"))
+            .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# intervals query — ordered / unordered with max_gaps
+# ---------------------------------------------------------------------------
+
+IV_T0, IV_T1, IV_MAX_GAPS = "value", "merge", 4
+
+
+@_reg("q_intervals_ordered", f"""
+WITH {_POS_CTE}
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pos a JOIN pos b
+  ON a.doc_id = b.doc_id
+ AND b.pos > a.pos
+ AND b.pos - a.pos - 1 <= {IV_MAX_GAPS}
+WHERE a.term = '{IV_T0}' AND b.term = '{IV_T1}'
+GROUP BY a.doc_id ORDER BY a.doc_id""")
+def q_intervals_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intervals match=ordered, max_gaps=IV_MAX_GAPS (Intervals.ordered
+    via IntervalQueryBuilder): IV_T0 strictly before IV_T1 with at most
+    max_gaps positions between them."""
+    a = term_positions(spark, sf_dir, IV_T0).alias("a")
+    b = term_positions(spark, sf_dir, IV_T1).alias("b")
+    cond = ((F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") > F.col("a.pos"))
+            & (F.col("b.pos") - F.col("a.pos") - 1 <= IV_MAX_GAPS))
+    return (a.join(b, cond)
+            .groupBy(F.col("a.doc_id").alias("doc_id"))
+            .agg(F.count("*").alias("n_pairs"))
+            .orderBy("doc_id"))
+
+
+@_reg("q_intervals_unordered", f"""
+WITH {_POS_CTE}
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pos a JOIN pos b
+  ON a.doc_id = b.doc_id
+ AND a.pos <> b.pos
+ AND abs(b.pos - a.pos) - 1 <= {IV_MAX_GAPS}
+WHERE a.term = '{IV_T0}' AND b.term = '{IV_T1}'
+GROUP BY a.doc_id ORDER BY a.doc_id""")
+def q_intervals_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intervals match=unordered, max_gaps=IV_MAX_GAPS: either order,
+    interval width minus the two terms <= max_gaps."""
+    a = term_positions(spark, sf_dir, IV_T0).alias("a")
+    b = term_positions(spark, sf_dir, IV_T1).alias("b")
+    cond = ((F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.pos") != F.col("b.pos"))
+            & (F.abs(F.col("b.pos") - F.col("a.pos")) - 1 <= IV_MAX_GAPS))
+    return (a.join(b, cond)
+            .groupBy(F.col("a.doc_id").alias("doc_id"))
+            .agg(F.count("*").alias("n_pairs"))
             .orderBy("doc_id"))
