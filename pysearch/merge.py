@@ -42,10 +42,25 @@ from .build import (DEFAULT_N_SALTS, DEFAULT_SALT_THRESHOLD, POSTINGS_SCHEMA,
                     Index, Stats, encode_partition_kernel)
 
 
+#: merged-vocab row count above which the term-dim join stops being
+#: broadcast (r03 advice: the old unconditional broadcast of the full
+#: merged term dim exceeds the 8 GB broadcast cap at full-vocab scale).
+#: 2M rows ≈ tens of MB — comfortably broadcastable; above it Catalyst
+#: picks a shuffle join co-partitioned with the (term, salt) exchange.
+BROADCAST_VOCAB_MAX = 2_000_000
+
+
 def merge_indexes(spark: SparkSession, indexes: list[Index], *,
-                  cache: bool = True, broadcast_dims: bool = True) -> Index:
+                  cache: bool = True, broadcast_dims: bool | None = None,
+                  broadcast_vocab_max: int = BROADCAST_VOCAB_MAX) -> Index:
     """Merge N built segments into one (doc_id spaces must be disjoint —
-    guaranteed by the contractual global doc_id assignment)."""
+    guaranteed by the contractual global doc_id assignment).
+
+    broadcast_dims: None (default) = ADAPTIVE — broadcast the merged term
+    dim only while the merged vocabulary fits under broadcast_vocab_max
+    rows (the count is a cheap agg over the already-persisted merged
+    term_stats); True/False force either path (r02's escape hatch kept
+    for tests and callers that know their vocab)."""
     assert indexes, "need at least one index"
     k1, b = indexes[0].k1, indexes[0].b
     n_buckets = indexes[0].n_buckets
@@ -74,6 +89,9 @@ def merge_indexes(spark: SparkSession, indexes: list[Index], *,
     )
     if cache:
         term_stats = term_stats.persist()
+
+    if broadcast_dims is None:
+        broadcast_dims = term_stats.count() <= broadcast_vocab_max
 
     # Route each term to the fast (salt-stable) or re-salt path. The
     # routing flag is derived entirely at TERM grain (per-segment

@@ -89,6 +89,57 @@ def test_merge_exercises_both_paths(spark, split_build):
     assert merged.postings.where(F.col("salt") > 0).count() > 0
 
 
+def test_merge_adaptive_broadcast_by_vocab(spark):
+    """broadcast_dims=None (default) is ADAPTIVE (r03 advice item 6):
+    vocab under the threshold -> the term-dim join broadcasts; a
+    threshold of 0 (vocab 'too big') -> shuffle join, no broadcast of
+    the merged term dim anywhere in the postings plan."""
+    from pysearch import build, merge
+
+    corpus = _full_corpus(spark)
+    # split/params deliberately DIFFERENT from the split_build fixture:
+    # identical subplans would be substituted by the CacheManager with
+    # the fixture's persisted frames, whose physical plans were compiled
+    # under the default (broadcast-happy) conf
+    a = corpus.where(F.col("doc_id") < 250)
+    b = corpus.where(F.col("doc_id") >= 250)
+    # inputs built WITHOUT explicit broadcasts (and under the disabled
+    # auto-broadcast conf below) so any BroadcastHashJoin in the merged
+    # plan can only come from merge's own term-dim join
+    kw = dict(n_buckets=4, salt_threshold=60, n_salts=2,
+              broadcast_dims=False, cache=False)
+
+    # disable Catalyst's own size-based auto-broadcast so the plan shows
+    # ONLY what the adaptive default injects (at test scale everything
+    # is small enough for AQE to broadcast regardless of the hint)
+    saved = {k: spark.conf.get(k, None) for k in
+             ("spark.sql.autoBroadcastJoinThreshold",
+              "spark.sql.adaptive.autoBroadcastJoinThreshold")}
+    try:
+        for k in saved:
+            spark.conf.set(k, "-1")
+        ia = build.build_index(spark, a, **kw)
+        ib = build.build_index(spark, b, **kw)
+        small = merge.merge_indexes(spark, [ia, ib], cache=False)
+        plan_small = (small.postings._jdf.queryExecution()
+                      .executedPlan().toString())
+        assert "BroadcastHashJoin" in plan_small  # explicit hint fired
+
+        big = merge.merge_indexes(spark, [ia, ib], cache=False,
+                                  broadcast_vocab_max=0)
+        plan_big = (big.postings._jdf.queryExecution()
+                    .executedPlan().toString())
+        assert "BroadcastHashJoin" not in plan_big  # shuffle join above cap
+        # merged output identical either way
+        assert _postings_key(small.postings) == _postings_key(big.postings)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_streaming_ingest_converges(spark, tmp_path):
     """Two corpus files arrive as a stream -> segments; the merged reader
     view answers queries identically to a one-shot batch build."""
