@@ -111,6 +111,20 @@ def main() -> None:
         pexec.count_matches(index, text, mode=mode)
         per_query[name] = round(time.time() - tq, 4)
 
+    # phrase path (r04): positional store built once (a build-time
+    # artifact — timed separately), then one phrase query over it.
+    # Tracked OUTSIDE per_query so value/p50 stay round-comparable.
+    pos_build_sec = phrase_sec = None
+    if not synth_docs:
+        from pysearch import phrase
+
+        tp = time.time()
+        phrase.positions_table(spark, sf_dir)
+        pos_build_sec = round(time.time() - tp, 4)
+        tq = time.time()
+        phrase.REGISTRY["q_phrase"].fn(spark, sf_dir).collect()
+        phrase_sec = round(time.time() - tq, 4)
+
     # batch API: all scored queries as ONE Spark job (the deployment shape —
     # per-query cost amortizes the job-scheduling floor)
     tb = time.time()
@@ -133,6 +147,8 @@ def main() -> None:
         "query_p50_sec": lat[len(lat) // 2] if lat else None,
         "batch_7q_sec": batch_sec,
         "batch_per_query_sec": round(batch_sec / len(queries), 4),
+        "positions_build_sec": pos_build_sec,
+        "q_phrase_sec": phrase_sec,
         "cpus": cpus,
         "synthetic_docs": synth_docs or None,
     }

@@ -100,11 +100,18 @@ def positions_frame(flat: DataFrame, n_buckets: int) -> DataFrame:
     Lucene84PostingsWriter writes a position stream next to the doc/freq
     stream; ExactPhraseMatcher reads it — SURVEY §2.4 phrase family).
     One shuffle at occurrence grain (same grain as the tf groupBy), then
-    positions are carried as a sorted array per (term, doc)."""
-    return (flat.groupBy("term", "doc_id")
-            .agg(F.sort_array(F.collect_list("pos")).alias("poss"))
-            .withColumn("bucket", pos_bucket_col(F.col("term"), n_buckets))
-            .select("term", "doc_id", "poss", "bucket"))
+    positions are carried as a sorted array per (term, doc). The output
+    is re-clustered to ONE partition per bucket, terms sorted within —
+    a partitionBy("bucket") write then produces one file per bucket dir
+    (not tasks×buckets small files) with term-ordered row groups, so a
+    term-equality predicate skips row groups via min/max stats on top of
+    the bucket partition pruning."""
+    grouped = (flat.groupBy("term", "doc_id")
+               .agg(F.sort_array(F.collect_list("pos")).alias("poss"))
+               .withColumn("bucket", pos_bucket_col(F.col("term"), n_buckets))
+               .select("term", "doc_id", "poss", "bucket"))
+    return (grouped.repartition(n_buckets, "bucket")
+            .sortWithinPartitions("term", "doc_id"))
 
 
 @dataclass

@@ -107,20 +107,46 @@ pos AS (
 )"""
 
 
+def term_doc_positions(spark: SparkSession, sf_dir: str, term: str,
+                       field: str = "content") -> DataFrame:
+    """(doc_id, poss) — one ARRAY row per doc for one term, bucket
+    partition-pruned (the un-exploded sibling of term_positions)."""
+    t = positions_table(spark, sf_dir, field)
+    b = build.pos_bucket_of(term, N_POS_BUCKETS)
+    return (t.where((F.col("bucket") == b) & (F.col("term") == term))
+            .select("doc_id", "poss"))
+
+
 def _phrase_pair(t0: str, t1: str, slop: int):
     """Spark plan for a 2-term phrase with the given slop.
 
     slop=0 → exact adjacency (pos1 == pos0+1); slop>0 → Lucene-sloppy-ish:
-    t1 within (pos0+1 .. pos0+1+slop), order preserved."""
+    t1 within (pos0+1 .. pos0+1+slop), order preserved.
+
+    Shape: the two terms' (doc_id, poss) ARRAY rows join on doc_id (both
+    sides bucket-pruned, the smaller broadcast by AQE) and the pair count
+    is pure array arithmetic — ExactPhraseMatcher's per-doc position-list
+    intersection with NO explode and no occurrence-grain shuffle. Counts
+    match the relational pair join exactly: positions are distinct within
+    a doc, so array_intersect(poss0+1, poss1) enumerates the adjacency
+    pairs (slop=0), and the aggregate-over-filter counts banded pairs."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        a = term_positions(spark, sf_dir, t0).alias("a")
-        b = term_positions(spark, sf_dir, t1).alias("b")
-        cond = ((F.col("a.doc_id") == F.col("b.doc_id"))
-                & (F.col("b.pos") >= F.col("a.pos") + 1)
-                & (F.col("b.pos") <= F.col("a.pos") + 1 + slop))
-        return (a.join(b, cond)
-                .groupBy(F.col("a.doc_id").alias("doc_id"))
-                .agg(F.count("*").alias("n_occurrences"))
+        a = term_doc_positions(spark, sf_dir, t0) \
+            .withColumnRenamed("poss", "poss0")
+        b = term_doc_positions(spark, sf_dir, t1) \
+            .withColumnRenamed("poss", "poss1")
+        j = a.join(b, "doc_id")
+        if slop == 0:
+            n = F.size(F.array_intersect(
+                F.transform("poss0", lambda x: x + 1), F.col("poss1")))
+        else:
+            n = F.aggregate(
+                "poss0", F.lit(0),
+                lambda acc, x: acc + F.size(F.filter(
+                    "poss1",
+                    lambda y: (y >= x + 1) & (y <= x + 1 + slop))))
+        return (j.select("doc_id", n.cast("long").alias("n_occurrences"))
+                .where(F.col("n_occurrences") > 0)
                 .orderBy("doc_id"))
     return run
 
