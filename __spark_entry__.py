@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pysearch import build as pbuild
 from pysearch import exec as pexec
 from pysearch import oracle_sql as osql
+from pysearch import phrase as pphrase
 
 _INDEX_CACHE: dict[str, object] = {}
 
@@ -29,8 +30,15 @@ def _index_for(spark: SparkSession, sf_dir: str):
     key = sf_dir.rstrip("/")
     if key not in _INDEX_CACHE:
         corpus = pbuild.corpus_from_documents(spark, sf_dir)
-        _INDEX_CACHE[key] = pbuild.build_index(
+        idx = pbuild.build_index(
             spark, corpus, n_buckets=16, salt_threshold=64, n_salts=4)
+        # Attach the persisted positional postings (phrase.positions_table:
+        # bucket-partitioned parquet, shared with the q_phrase/span family)
+        # so search_tree's phrase legs partition-prune instead of
+        # re-tokenizing the corpus (exec._term_positions_leg).
+        idx.positions = pphrase.positions_table(spark, sf_dir)
+        idx.meta["pos_n_buckets"] = pphrase.N_POS_BUCKETS
+        _INDEX_CACHE[key] = idx
     return _INDEX_CACHE[key]
 
 

@@ -597,22 +597,42 @@ def search_bool_full(index: Index, plan) -> DataFrame:
 
 def _positions_rel(index: Index) -> DataFrame:
     """(doc_id, pos, term) positional relation derived from the forward
-    index. At scale this is precomputed once per segment next to the
-    postings table (see phrase.py's scale note); here it is derived
-    because the flagship postings schema stores (tf, norm) impacts only."""
+    index — the FALLBACK when the segment carries no positional
+    postings (Index.positions is None). Segments built with
+    with_positions=True (or with phrase.positions_table attached) never
+    hit this path; see _term_positions_leg."""
     return index.docs.select(
         "doc_id",
         F.posexplode(analysis.tokens_expr(F.col("content"))).alias("pos", "term"))
 
 
+def _term_positions_leg(index: Index, term: str) -> DataFrame:
+    """(doc_id, pos) occurrences of one term, preferring the segment's
+    PERSISTED positional postings ([lucene dep] Lucene84PostingsWriter's
+    position stream): bucket partition-pruned scan (1 of pos_n_buckets
+    dirs) + term predicate pushdown + array explode — never a corpus
+    re-tokenize. Falls back to deriving positions from the forward index
+    only when the segment was built without them (in-memory test
+    segments)."""
+    if index.positions is not None:
+        from .build import pos_bucket_of
+        n = index.meta.get("pos_n_buckets", index.n_buckets)
+        b = pos_bucket_of(term, n)
+        return (index.positions
+                .where((F.col("bucket") == b) & (F.col("term") == term))
+                .select("doc_id", F.explode("poss").alias("pos")))
+    return (_positions_rel(index).where(F.col("term") == term)
+            .select("doc_id", "pos"))
+
+
 def _phrase_docs(index: Index, terms: list[str], slop: int) -> DataFrame:
     """doc_ids containing the phrase: chained positional self-joins —
-    term i+1 within (pos_i+1 .. pos_i+1+slop), order preserved."""
-    p = _positions_rel(index)
-    cur = (p.where(F.col("term") == terms[0])
+    term i+1 within (pos_i+1 .. pos_i+1+slop), order preserved. Each
+    term leg is a pruned positional-postings scan (_term_positions_leg)."""
+    cur = (_term_positions_leg(index, terms[0])
            .select("doc_id", F.col("pos").alias("p0")))
     for t in terms[1:]:
-        nxt = p.where(F.col("term") == t).select(
+        nxt = _term_positions_leg(index, t).select(
             F.col("doc_id").alias("d2"), F.col("pos").alias("p1"))
         cur = (cur.join(nxt,
                         (F.col("doc_id") == F.col("d2"))

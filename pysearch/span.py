@@ -191,3 +191,79 @@ def q_intervals_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("a.doc_id").alias("doc_id"))
             .agg(F.count("*").alias("n_pairs"))
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# span_containing / span_within — compound-span relations
+# ---------------------------------------------------------------------------
+
+#: big = ordered (SC_T0 .. SC_T1) span with end-start <= SC_WIN;
+#: little = single-term span of SC_T2
+SC_T0, SC_T1, SC_T2, SC_WIN = "value", "sort", "merge", 8
+
+_BIG_CTE = f"""
+big AS (
+  SELECT a.doc_id, a.pos AS s, b.pos AS e
+  FROM pos a JOIN pos b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos - a.pos <= {SC_WIN}
+  WHERE a.term = '{SC_T0}' AND b.term = '{SC_T1}')"""
+
+
+def _big_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s, e) — ordered (SC_T0 .. SC_T1) spans, width-bounded,
+    both legs bucket-pruned scans of the persisted positional index."""
+    a = term_positions(spark, sf_dir, SC_T0).alias("a")
+    b = term_positions(spark, sf_dir, SC_T1).alias("b")
+    return (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                   & (F.col("b.pos") > F.col("a.pos"))
+                   & (F.col("b.pos") - F.col("a.pos") <= SC_WIN))
+            .select(F.col("a.doc_id").alias("doc_id"),
+                    F.col("a.pos").alias("s"), F.col("b.pos").alias("e")))
+
+
+@_reg("q_span_containing", f"""
+WITH {_POS_CTE},{_BIG_CTE}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+FROM big g
+WHERE EXISTS (SELECT 1 FROM pos c
+              WHERE c.doc_id = g.doc_id AND c.term = '{SC_T2}'
+                AND c.pos BETWEEN g.s AND g.e)
+GROUP BY doc_id ORDER BY doc_id""")
+def q_span_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_containing (index/query/SpanContainingQueryBuilder.java,
+    [lucene dep] SpanContainingQuery): BIG spans — ordered (SC_T0..SC_T1)
+    within SC_WIN — that contain at least one LITTLE span (an SC_T2
+    occurrence). A left_semi band join of the big-span relation against
+    the little term's bucket-pruned positions."""
+    big = _big_spans(spark, sf_dir).alias("g")
+    c = term_positions(spark, sf_dir, SC_T2).alias("c")
+    cond = ((F.col("g.doc_id") == F.col("c.doc_id"))
+            & (F.col("c.pos") >= F.col("g.s"))
+            & (F.col("c.pos") <= F.col("g.e")))
+    return (big.join(c, cond, "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_spans"))
+            .orderBy("doc_id"))
+
+
+@_reg("q_span_within", f"""
+WITH {_POS_CTE},{_BIG_CTE}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+FROM (SELECT DISTINCT c.doc_id, c.pos FROM pos c JOIN big g
+        ON c.doc_id = g.doc_id AND c.pos BETWEEN g.s AND g.e
+      WHERE c.term = '{SC_T2}') w
+GROUP BY doc_id ORDER BY doc_id""")
+def q_span_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_within (index/query/SpanWithinQueryBuilder.java,
+    SpanWithinQuery): the mirror — LITTLE spans (SC_T2 occurrences) that
+    fall inside at least one big span; each little position counts once
+    (semi-join against the big-span relation)."""
+    big = _big_spans(spark, sf_dir).alias("g")
+    c = term_positions(spark, sf_dir, SC_T2).alias("c")
+    cond = ((F.col("c.doc_id") == F.col("g.doc_id"))
+            & (F.col("c.pos") >= F.col("g.s"))
+            & (F.col("c.pos") <= F.col("g.e")))
+    return (c.join(big, cond, "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_spans"))
+            .orderBy("doc_id"))

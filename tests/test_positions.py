@@ -101,6 +101,33 @@ def test_build_with_positions_roundtrip(spark):
         assert a == b
 
 
+def test_tree_phrase_uses_persisted_positions(spark):
+    """search_tree's PhraseNode leg (exec._phrase_docs) reads the
+    segment's positional postings when attached — bucket-pruned scan,
+    no corpus re-tokenize — and returns exactly the docs the
+    forward-index fallback derivation returns."""
+    from pysearch import build, phrase
+    from pysearch import exec as pexec
+
+    corpus = build.corpus_from_documents(spark, SF_SMOKE)
+    idx = build.build_index(spark, corpus, n_buckets=8, salt_threshold=50,
+                            n_salts=4)
+    assert idx.positions is None
+    fallback = {r["doc_id"] for r in
+                pexec._phrase_docs(idx, ["merge", "sort"], 1).collect()}
+
+    idx.positions = phrase.positions_table(spark, SF_SMOKE)
+    idx.meta["pos_n_buckets"] = phrase.N_POS_BUCKETS
+    df = pexec._phrase_docs(idx, ["merge", "sort"], 1)
+    plan = _plan_of(df)
+    assert "documents.parquet" not in plan
+    assert "regexp_replace" not in plan.lower()
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+    got = {r["doc_id"] for r in df.collect()}
+    assert got == fallback
+    assert got, "phrase 'merge sort' should match at sf0.001"
+
+
 def test_mm_phrase_empty_when_term_absent(spark):
     """_mm_phrase guard: absent member term -> empty frame, no error."""
     from pysearch.phrase import _mm_phrase
