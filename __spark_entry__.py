@@ -91,7 +91,8 @@ def _registries():
     mods = []
     for m in ("relational", "dedup", "similarity", "textstats", "multimodal",
               "phrase", "ingest", "analysis_ext", "search_ext", "streaming",
-              "geo", "aggs_ext", "span", "percolate", "lifecycle"):
+              "geo", "aggs_ext", "span", "percolate", "lifecycle",
+              "aggs_xpack", "search_more"):
         try:
             mods.append(importlib.import_module(f"pysearch.{m}"))
         except ImportError:
