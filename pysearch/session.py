@@ -35,13 +35,15 @@ def get_spark(cores: int | None = None, app: str = "pysearch",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
-    # single-machine harness: shuffle through tmpfs. Compression default
-    # stays off there (CPU for zero I/O win on tmpfs), overridable with
-    # PYSEARCH_SHUFFLE_COMPRESS=1 to measure the cluster-default config
-    # (network/disk shuffles always compress).
+    # single-machine harness: shuffle through tmpfs. Compression default is
+    # ON even there (r04 paired A/B at 100k docs: +4% at local[4], neutral
+    # ±2% at local[1] — tmpfs writes are memory-bus traffic, so lz4 trades
+    # CPU that scales for bus bytes that don't); it is also the real-cluster
+    # default (network/disk shuffles always compress). Override with
+    # PYSEARCH_SHUFFLE_COMPRESS=0.
     if os.path.isdir("/dev/shm") and os.environ.get(
             "PYSEARCH_SHM_SHUFFLE", "1") != "0":
-        comp = ("true" if os.environ.get("PYSEARCH_SHUFFLE_COMPRESS", "0") == "1"
+        comp = ("true" if os.environ.get("PYSEARCH_SHUFFLE_COMPRESS", "1") != "0"
                 else "false")
         builder = (builder
                    .config("spark.local.dir", "/dev/shm/spark")
