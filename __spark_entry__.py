@@ -92,7 +92,8 @@ def _registries():
     for m in ("relational", "dedup", "similarity", "textstats", "multimodal",
               "phrase", "ingest", "analysis_ext", "search_ext", "streaming",
               "geo", "aggs_ext", "span", "percolate", "lifecycle",
-              "aggs_xpack", "search_more", "eql", "frontends_x"):
+              "aggs_xpack", "search_more", "eql", "frontends_x",
+              "surface4"):
         try:
             mods.append(importlib.import_module(f"pysearch.{m}"))
         except ImportError:
