@@ -121,6 +121,11 @@ def main() -> None:
         tp = time.time()
         phrase.positions_table(spark, sf_dir)
         pos_build_sec = round(time.time() - tp, 4)
+        # steady-state, same policy as the scored queries above: one
+        # untimed call absorbs the first-action costs of the fresh store
+        # (whole-stage codegen for the new plan shape + parquet footer
+        # reads), then the timed call measures the warm gather path
+        phrase.REGISTRY["q_phrase"].fn(spark, sf_dir).collect()
         tq = time.time()
         phrase.REGISTRY["q_phrase"].fn(spark, sf_dir).collect()
         phrase_sec = round(time.time() - tq, 4)

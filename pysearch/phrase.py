@@ -39,12 +39,15 @@ _FIELD_COLS = {
     "title": lambda: F.substring("text", 1, 80),
 }
 
-#: (sf_dir, field) -> parquet path of the persisted positional index
-_POS_STORE: dict[tuple[str, str], str] = {}
+#: (sf_dir, field) -> (parquet path, reader DataFrame) of the persisted
+#: positional index. The DataFrame handle is cached so the parquet file
+#: listing (InMemoryFileIndex over N_POS_BUCKETS dirs, ~1.5 s on a fresh
+#: store) happens ONCE at store-build time, not inside the first query.
+_POS_STORE: dict[tuple[str, str], tuple[str, DataFrame]] = {}
 
 
 def _cleanup_pos_store():
-    for path in _POS_STORE.values():
+    for path, _df in _POS_STORE.values():
         shutil.rmtree(path, ignore_errors=True)
     _POS_STORE.clear()
 
@@ -75,8 +78,8 @@ def positions_table(spark: SparkSession, sf_dir: str,
         path = tempfile.mkdtemp(prefix="pysearch_positions_")
         (build.positions_frame(flat, N_POS_BUCKETS)
          .write.mode("overwrite").partitionBy("bucket").parquet(path))
-        _POS_STORE[key] = path
-    return spark.read.parquet(_POS_STORE[key])
+        _POS_STORE[key] = (path, spark.read.parquet(path))
+    return _POS_STORE[key][1]
 
 
 def positions(spark: SparkSession, sf_dir: str,
@@ -117,37 +120,104 @@ def term_doc_positions(spark: SparkSession, sf_dir: str, term: str,
             .select("doc_id", "poss"))
 
 
+# Below this many (term, doc) rows across both phrase legs, the bucket-
+# pruned position rows are gathered to the DRIVER in ONE narrow scan job
+# and intersected in-process — the same ES coordinator-gather shape (and
+# cap discipline) as exec.LOCAL_MAX_POSTINGS: a selective phrase is a
+# single Spark job instead of a scan+scan+join pipeline (3-4 stages).
+# The cap is probed with a narrow count() on the pruned scan itself
+# (bucket PartitionFilter + term PushedFilter reach the parquet reader,
+# so the count touches 2 of 16 dirs; ~0.15 s warm) followed by the
+# parallel collect — NOT with limit(cap).collect(), whose CollectLimit
+# executes as executeTake's incremental partition waves (measured 3.5 s
+# where count+collect takes 0.3–0.6 s), and NOT via the main index's
+# terms dictionary, which a phrase-only workload would have to build
+# first. Hot phrases fall back to the distributed join below.
+LOCAL_MAX_PAIR_ROWS = 200_000
+
+
+def _pair_count(p0, p1, slop: int) -> int:
+    """Per-doc phrase frequency from two position lists — the Python
+    mirror of the array expressions in the distributed plan."""
+    if slop == 0:
+        s1 = set(p1)
+        return sum(1 for x in p0 if x + 1 in s1)
+    return sum(1 for x in p0 for y in p1 if x + 1 <= y <= x + 1 + slop)
+
+
+def _pair_scan(spark: SparkSession, sf_dir: str,
+               t0: str, t1: str) -> DataFrame:
+    """Bucket+term-pruned scan of BOTH phrase legs' (term, doc_id, poss)
+    rows — the single narrow job the local gather path collects."""
+    pt = positions_table(spark, sf_dir)
+    buckets = sorted({build.pos_bucket_of(t, N_POS_BUCKETS)
+                      for t in (t0, t1)})
+    return (pt.where(F.col("bucket").isin(buckets)
+                     & F.col("term").isin(t0, t1))
+            .select("term", "doc_id", "poss"))
+
+
+def _phrase_pair_join(spark: SparkSession, sf_dir: str,
+                      t0: str, t1: str, slop: int) -> DataFrame:
+    """Distributed fallback: the two terms' array rows join on doc_id
+    (both sides bucket-pruned, the smaller broadcast by AQE); pair count
+    is pure array arithmetic — no explode, no occurrence-grain shuffle."""
+    a = term_doc_positions(spark, sf_dir, t0) \
+        .withColumnRenamed("poss", "poss0")
+    b = term_doc_positions(spark, sf_dir, t1) \
+        .withColumnRenamed("poss", "poss1")
+    j = a.join(b, "doc_id")
+    if slop == 0:
+        n = F.size(F.array_intersect(
+            F.transform("poss0", lambda x: x + 1), F.col("poss1")))
+    else:
+        n = F.aggregate(
+            "poss0", F.lit(0),
+            lambda acc, x: acc + F.size(F.filter(
+                "poss1",
+                lambda y: (y >= x + 1) & (y <= x + 1 + slop))))
+    return (j.select("doc_id", n.cast("long").alias("n_occurrences"))
+            .where(F.col("n_occurrences") > 0)
+            .orderBy("doc_id"))
+
+
 def _phrase_pair(t0: str, t1: str, slop: int):
-    """Spark plan for a 2-term phrase with the given slop.
+    """Query for a 2-term phrase with the given slop.
 
     slop=0 → exact adjacency (pos1 == pos0+1); slop>0 → Lucene-sloppy-ish:
     t1 within (pos0+1 .. pos0+1+slop), order preserved.
 
-    Shape: the two terms' (doc_id, poss) ARRAY rows join on doc_id (both
-    sides bucket-pruned, the smaller broadcast by AQE) and the pair count
-    is pure array arithmetic — ExactPhraseMatcher's per-doc position-list
-    intersection with NO explode and no occurrence-grain shuffle. Counts
-    match the relational pair join exactly: positions are distinct within
-    a doc, so array_intersect(poss0+1, poss1) enumerates the adjacency
-    pairs (slop=0), and the aggregate-over-filter counts banded pairs."""
+    Physical strategies (selected by a limit-probe on the pruned scan):
+      local — ONE job collects both terms' (doc_id, poss) array rows
+              (bucket+term pruned) to the driver; the per-doc position
+              intersection runs in-process. ES's coordinator gather for
+              selective phrases.
+      join  — the two terms' array rows join on doc_id (both sides
+              bucket-pruned, the smaller broadcast by AQE) and the pair
+              count is pure array arithmetic — ExactPhraseMatcher's
+              per-doc position-list intersection with NO explode and no
+              occurrence-grain shuffle. Counts match the relational pair
+              join exactly: positions are distinct within a doc, so
+              array_intersect(poss0+1, poss1) enumerates the adjacency
+              pairs (slop=0), and the aggregate-over-filter counts
+              banded pairs."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        a = term_doc_positions(spark, sf_dir, t0) \
-            .withColumnRenamed("poss", "poss0")
-        b = term_doc_positions(spark, sf_dir, t1) \
-            .withColumnRenamed("poss", "poss1")
-        j = a.join(b, "doc_id")
-        if slop == 0:
-            n = F.size(F.array_intersect(
-                F.transform("poss0", lambda x: x + 1), F.col("poss1")))
-        else:
-            n = F.aggregate(
-                "poss0", F.lit(0),
-                lambda acc, x: acc + F.size(F.filter(
-                    "poss1",
-                    lambda y: (y >= x + 1) & (y <= x + 1 + slop))))
-        return (j.select("doc_id", n.cast("long").alias("n_occurrences"))
-                .where(F.col("n_occurrences") > 0)
-                .orderBy("doc_id"))
+        scan = _pair_scan(spark, sf_dir, t0, t1)
+        if scan.count() <= LOCAL_MAX_PAIR_ROWS:
+            rows = scan.collect()
+            first = {r["doc_id"]: r["poss"] for r in rows
+                     if r["term"] == t0}
+            out = sorted(
+                (r["doc_id"], n)
+                for r in rows if r["term"] == t1
+                and (p0 := first.get(r["doc_id"])) is not None
+                and (n := _pair_count(p0, r["poss"], slop)) > 0)
+            # already sorted; createDataFrame preserves local row order —
+            # an orderBy here would shuffle k rows across 32 partitions
+            # (measured ~0.8 s of pure overhead on a 1-row relation)
+            return spark.createDataFrame(
+                out, "doc_id long, n_occurrences long")
+        return _phrase_pair_join(spark, sf_dir, t0, t1, slop)
     return run
 
 

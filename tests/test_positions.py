@@ -18,18 +18,39 @@ def _plan_of(df) -> str:
 
 
 def test_phrase_plan_reads_persisted_positions(spark):
-    """q_phrase's executed plan: scans the positions parquet with a
-    bucket PartitionFilter, and contains NO corpus scan / re-tokenize
-    (no documents.parquet, no regexp_replace, no posexplode Generate)."""
+    """Both q_phrase physical paths scan the positions parquet with a
+    bucket PartitionFilter and contain NO corpus scan / re-tokenize
+    (no documents.parquet, no regexp_replace, no posexplode Generate):
+    the local gather path's ONE probe scan, and the >cap distributed
+    join fallback."""
     from pysearch import phrase
 
     phrase.positions_table(spark, SF_SMOKE)  # warm the store
-    df = phrase.REGISTRY["q_phrase"].fn(spark, SF_SMOKE)
-    plan = _plan_of(df)
-    assert "documents.parquet" not in plan
-    assert "regexp_replace" not in plan.lower()
-    assert "PartitionFilters: [isnotnull(bucket" in plan
-    assert "pysearch_positions" in plan or "FileScan parquet" in plan
+    for df in (phrase._pair_scan(spark, SF_SMOKE, "merge", "sort"),
+               phrase._phrase_pair_join(spark, SF_SMOKE,
+                                        "merge", "sort", 0)):
+        plan = _plan_of(df)
+        assert "documents.parquet" not in plan
+        assert "regexp_replace" not in plan.lower()
+        # bucket pruning: equality legs print "isnotnull(bucket…",
+        # the IN-list probe prints "bucket#N IN (…)"
+        pf = plan.split("PartitionFilters: [", 1)
+        assert len(pf) == 2 and "bucket" in pf[1][:60], plan
+        assert "pysearch_positions" in plan or "FileScan parquet" in plan
+
+
+def test_phrase_local_gather_equals_join_path(spark):
+    """The driver-local intersection (selective phrases, ONE scan job)
+    returns exactly the distributed array-join relation, for both exact
+    and sloppy phrases."""
+    from pysearch import phrase
+
+    for slop in (0, 2):
+        local = phrase._phrase_pair("merge", "sort", slop)(
+            spark, SF_SMOKE).collect()
+        join = phrase._phrase_pair_join(
+            spark, SF_SMOKE, "merge", "sort", slop).collect()
+        assert [tuple(r) for r in local] == [tuple(r) for r in join]
 
 
 def test_span_plan_reads_persisted_positions(spark):
