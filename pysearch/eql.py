@@ -126,16 +126,32 @@ SELECT user_id, pv_id AS first_id, event_id AS second_id,
 FROM w
 WHERE event_type = '{_SEQ_SECOND}' AND pv_ts IS NOT NULL
   AND pv_ts >= ts - INTERVAL {_SEQ_SPAN_S} SECONDS {extra}
+QUALIFY row_number() OVER (PARTITION BY user_id, pv_id
+                           ORDER BY ts, event_id) = 1
 ORDER BY second_id"""
+
+
+def _consume_first(matched: DataFrame) -> DataFrame:
+    """SequenceMatcher's CONSUMING semantics (r04 advice): completing a
+    sequence consumes the pending stage-1 event, so only the FIRST
+    in-span stage-2 event pairs with a given stage-1 event — a later
+    stage-2 with no fresh stage-1 in between matches nothing. One
+    row_number window over MATCH-grain rows (already span-filtered, far
+    smaller than the event stream), keyed by the consumed stage-1 id."""
+    dw = Window.partitionBy("user_id", "pv_id").orderBy("ts", "event_id")
+    return (matched.withColumn("_rn", F.row_number().over(dw))
+            .where(F.col("_rn") == 1).drop("_rn"))
 
 
 @_reg("eql_sequence", _seq_sql(until=False))
 def eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sequence by user_id with maxspan=4h [view] [purchase] — as-of
     window join (x-pack eql SequenceMatcher semantics: each stage-2
-    event pairs with the key's most recent pending stage-1 event)."""
+    event pairs with the key's most recent pending stage-1 event, and
+    the completed pair CONSUMES that stage-1 event — _consume_first)."""
     cond, gap = _seq_select(until=False)
-    return (_seq_window(spark, sf_dir).where(cond)
+    matched = _seq_window(spark, sf_dir).where(cond)
+    return (_consume_first(matched)
             .select("user_id", F.col("pv_id").alias("first_id"),
                     F.col("event_id").alias("second_id"),
                     gap.alias("gap_us"))
@@ -145,9 +161,11 @@ def eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_reg("eql_sequence_until", _seq_sql(until=True))
 def eql_sequence_until(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sequence … until [error]: an intervening until-event expires the
-    pending stage-1 state (pe_ts in (pv_ts, ts) kills the pair)."""
+    pending stage-1 state (pe_ts in (pv_ts, ts) kills the pair);
+    completion consumes stage-1 like eql_sequence."""
     cond, gap = _seq_select(until=True)
-    return (_seq_window(spark, sf_dir).where(cond)
+    matched = _seq_window(spark, sf_dir).where(cond)
+    return (_consume_first(matched)
             .select("user_id", F.col("pv_id").alias("first_id"),
                     F.col("event_id").alias("second_id"),
                     gap.alias("gap_us"))

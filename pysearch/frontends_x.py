@@ -115,10 +115,14 @@ def retriever_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import search_more as sm
     from .similarity import cosine_expr
 
-    # lexical leg: BM25 clause-sum relation, rank on (round, doc_id)
+    # lexical leg: window membership selected on the RAW bm25 score with
+    # doc_id tie-break (exactly bm25_topk_sql's top-k contract — r04
+    # advice: selecting on the rounded score could flip membership when
+    # a rounding tie straddles the rank-window boundary), then rank on
+    # the rounded score inside the window like the oracle's lex CTE
     bm = (sm._bm25_agg(spark, sf_dir, _RRF_TEXT)
-          .select("doc_id", F.round("bm25", osql.ROUND_DIGITS).alias("s"))
-          .orderBy(F.desc("s"), F.asc("doc_id")).limit(_RRF_WINDOW))
+          .orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_RRF_WINDOW)
+          .select("doc_id", F.round("bm25", osql.ROUND_DIGITS).alias("s")))
     lex = bm.select(
         "doc_id",
         F.row_number().over(

@@ -79,7 +79,14 @@ def positions_table(spark: SparkSession, sf_dir: str,
         (build.positions_frame(flat, N_POS_BUCKETS)
          .write.mode("overwrite").partitionBy("bucket").parquet(path))
         _POS_STORE[key] = (path, spark.read.parquet(path))
-    return _POS_STORE[key][1]
+    path, df = _POS_STORE[key]
+    # r04 advice: the cached handle is bound to the session that created
+    # it; if that session was stopped and a new one created in the same
+    # process, re-open the (still valid) parquet store on the live session
+    if df.sparkSession is not spark:
+        df = spark.read.parquet(path)
+        _POS_STORE[key] = (path, df)
+    return df
 
 
 def positions(spark: SparkSession, sf_dir: str,
