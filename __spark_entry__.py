@@ -93,7 +93,7 @@ def _registries():
               "phrase", "ingest", "analysis_ext", "search_ext", "streaming",
               "geo", "aggs_ext", "span", "percolate", "lifecycle",
               "aggs_xpack", "search_more", "eql", "frontends_x",
-              "surface4"):
+              "surface4", "versioning"):
         try:
             mods.append(importlib.import_module(f"pysearch.{m}"))
         except ImportError:

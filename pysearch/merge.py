@@ -42,6 +42,41 @@ from .build import (DEFAULT_N_SALTS, DEFAULT_SALT_THRESHOLD, POSTINGS_SCHEMA,
                     Index, Stats, encode_partition_kernel)
 
 
+_CARRY_TYPES = {"df": "df long", "n_salts": "n_salts int"}
+
+
+def decode_to_posting_rows(posts, carry: tuple[str, ...] = ()):
+    """Encoded block rows -> posting-grain rows (term, doc_id, tf,
+    dl_byte [+ carry columns repeated per posting]). Vectorized decode:
+    one varint pass over each Arrow batch's concatenated buffers
+    (codec.decode_blocks_concat), no per-row Python. Shared by
+    merge_indexes' re-salt path and versioning.compact's delete-dropping
+    rewrite ([lucene dep] SegmentMerger reads postings the same way)."""
+    schema = ("term string, doc_id long, tf long, dl_byte int"
+              + "".join(f", {_CARRY_TYPES[c]}" for c in carry))
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            counts = pdf["n_in_block"].to_numpy()
+            ids, tfs, nrm = codec.decode_blocks_concat(
+                pdf["first_doc_id"].to_numpy(), pdf["docid_gaps"],
+                counts, pdf["tfs_enc"], pdf["norms_enc"])
+            data = {
+                "term": np.repeat(pdf["term"].to_numpy(), counts),
+                "doc_id": ids, "tf": tfs,
+                "dl_byte": nrm.astype(np.int32)}
+            for c in carry:
+                data[c] = np.repeat(pdf[c].to_numpy(), counts)
+            yield pd.DataFrame(data)
+
+    return posts.mapInPandas(kernel, schema=schema)
+
+
 #: merged-vocab row count above which the term-dim join stops being
 #: broadcast (r03 advice: the old unconditional broadcast of the full
 #: merged term dim exceeds the 8 GB broadcast cap at full-vocab scale).
@@ -181,29 +216,7 @@ def merge_indexes(spark: SparkSession, indexes: list[Index], *,
 
     # ---- re-salt path: decode to posting grain, reuse the build kernel ----
     slow = posts.where(F.col("fast") == 0)
-
-    def decode_to_postings(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            counts = pdf["n_in_block"].to_numpy()
-            ids, tfs, nrm = codec.decode_blocks_concat(
-                pdf["first_doc_id"].to_numpy(), pdf["docid_gaps"],
-                counts, pdf["tfs_enc"], pdf["norms_enc"])
-            yield pd.DataFrame({
-                "term": np.repeat(pdf["term"].to_numpy(), counts),
-                "doc_id": ids, "tf": tfs,
-                "dl_byte": nrm.astype(np.int32),
-                "df": np.repeat(pdf["df"].to_numpy(), counts),
-                "n_salts": np.repeat(pdf["n_salts"].to_numpy(), counts)})
-
-    decoded = slow.mapInPandas(
-        decode_to_postings,
-        schema="term string, doc_id long, tf long, dl_byte int, "
-               "df long, n_salts int")
+    decoded = decode_to_posting_rows(slow, carry=("df", "n_salts"))
     slow_sorted = (decoded
                    .withColumn("salt", F.pmod("doc_id", F.col("n_salts"))
                                .cast("int"))

@@ -51,12 +51,19 @@ def corpus_ctes(table: str = "documents", text_col: str = "text",
 
 
 def bm25_topk_sql(query_text: str, k: int, mode: str = "or",
-                  table: str = "documents") -> str:
+                  table: str = "documents", pre_cte: str = "",
+                  exclude_ids: tuple[int, ...] = ()) -> str:
     """Top-k BM25 (Lucene-8 form, quantized dl) as one DuckDB query.
 
     Produces columns (doc_id BIGINT, score DOUBLE) — score rounded to
     ROUND_DIGITS; top-k selected on the RAW score with doc_id tie-break,
-    exactly like the engine."""
+    exactly like the engine.
+
+    pre_cte: extra leading CTE(s) (``name AS (...)``) so ``table`` may be
+    a derived corpus (versioning oracles: the PHYSICAL post-update
+    corpus). exclude_ids: doc_ids filtered out AFTER scoring — Lucene's
+    live-docs bitset over soft-deleted docs, which still count in
+    df/N/avgdl until a merge drops them."""
     terms = analysis.analyze(query_text)
     if not terms:
         return f"SELECT doc_id, 0.0::DOUBLE AS score FROM {table} WHERE 1=0"
@@ -66,8 +73,11 @@ def bm25_topk_sql(query_text: str, k: int, mode: str = "or",
     k1, b = analysis.K1, analysis.B
     dlq = codec.duckdb_dlq_expr("dl.dl")
     and_filter = f"HAVING count(*) = {len(weights)}" if mode == "and" else ""
+    pre = f"{pre_cte}," if pre_cte else ""
+    excl = ("WHERE doc_id NOT IN (%s)" % ", ".join(map(str, exclude_ids))
+            if exclude_ids else "")
     return f"""
-WITH {corpus_ctes(table)},
+WITH {pre}{corpus_ctes(table)},
 tf AS (
   SELECT doc_id, term, count(*)::DOUBLE AS tf
   FROM tok2 WHERE term IN ({in_list}) GROUP BY doc_id, term
@@ -92,7 +102,7 @@ agg AS (
   FROM scored GROUP BY doc_id {and_filter}
 ),
 topk AS (
-  SELECT doc_id, score_raw FROM agg
+  SELECT doc_id, score_raw FROM agg {excl}
   ORDER BY score_raw DESC, doc_id ASC LIMIT {k}
 )
 SELECT doc_id, round(score_raw, {ROUND_DIGITS}) AS score FROM topk
