@@ -27,19 +27,14 @@ _INDEX_CACHE: dict[str, object] = {}
 
 
 def _index_for(spark: SparkSession, sf_dir: str):
-    key = sf_dir.rstrip("/")
-    if key not in _INDEX_CACHE:
-        corpus = pbuild.corpus_from_documents(spark, sf_dir)
-        idx = pbuild.build_index(
-            spark, corpus, n_buckets=16, salt_threshold=64, n_salts=4)
-        # Attach the persisted positional postings (phrase.positions_table:
-        # bucket-partitioned parquet, shared with the q_phrase/span family)
-        # so search_tree's phrase legs partition-prune instead of
-        # re-tokenizing the corpus (exec._term_positions_leg).
-        idx.positions = pphrase.positions_table(spark, sf_dir)
-        idx.meta["pos_n_buckets"] = pphrase.N_POS_BUCKETS
-        _INDEX_CACHE[key] = idx
-    return _INDEX_CACHE[key]
+    """The committed disk-backed segment for sf_dir (pysearch.store):
+    docs/postings/term_stats/positions as bucket-partitioned parquet —
+    every query key reads the SAME persisted store the build writes
+    (r05 brief item 4: one positions store, not a tempdir twin), and
+    selective queries take the driver-side pyarrow fast path."""
+    from pysearch import store as pstore
+
+    return pstore.segment_index(spark, sf_dir)
 
 
 def _topk(text: str, k: int, mode: str = "or"):
@@ -93,7 +88,7 @@ def _registries():
               "phrase", "ingest", "analysis_ext", "search_ext", "streaming",
               "geo", "aggs_ext", "span", "percolate", "lifecycle",
               "aggs_xpack", "search_more", "eql", "frontends_x",
-              "surface4", "versioning"):
+              "surface4", "versioning", "fuzz"):
         try:
             mods.append(importlib.import_module(f"pysearch.{m}"))
         except ImportError:

@@ -91,6 +91,22 @@ def main() -> None:
     index.term_stats.count()
     build_sec = time.time() - t0
 
+    # commit the segment (IndexWriter#commit analog): write to parquet,
+    # reopen the reader over the COMMITTED store — the deployment shape
+    # (ES never serves queries from the indexer's in-memory structures).
+    # Disk-backing also enables the coordinator pyarrow fast path for
+    # selective queries (exec._local_blocks_pandas).
+    import shutil
+    import tempfile
+
+    t0 = time.time()
+    seg_dir = tempfile.mkdtemp(prefix="pysearch_bench_seg_")
+    pbuild.write_index(index, seg_dir)
+    loaded = pbuild.load_index(spark, seg_dir)
+    loaded.disk_path = seg_dir
+    commit_sec = time.time() - t0
+    index = loaded
+
     # warm the Python workers / JVM paths before per-query timing — must be
     # a term that EXISTS in the index, else the scoring UDF never spins up
     # and the first timed query pays worker startup (~10 s)
@@ -111,16 +127,30 @@ def main() -> None:
         pexec.count_matches(index, text, mode=mode)
         per_query[name] = round(time.time() - tq, 4)
 
-    # phrase path (r04): positional store built once (a build-time
-    # artifact — timed separately), then one phrase query over it.
-    # Tracked OUTSIDE per_query so value/p50 stay round-comparable.
-    pos_build_sec = phrase_sec = None
+    # interactive path (r05): single-query top-k entirely on the
+    # coordinator — pyarrow read of the pruned bucket dirs + in-process
+    # MAXSCORE, zero Spark jobs (exec.search_interactive; rank-identical
+    # to the Spark path, pytest-pinned). This is the ES "2-8 ms term
+    # query" shape; timed per query over the committed segment.
+    pexec.search_interactive(index, warm_term, k=1)  # warm term dict
+    interactive: dict[str, float] = {}
+    for name, text, k, mode in queries:
+        tq = time.time()
+        pexec.search_interactive(index, text, k=k, mode=mode)
+        interactive[name] = round(time.time() - tq, 4)
+    ilat = sorted(interactive.values())
+
+    # phrase path: the canonical per-corpus segment store (16-bucket,
+    # WITH positions — store.segment_index: build + write + load; r05
+    # converged the former tempdir positions twin into it), then one
+    # phrase query over it. Timed OUTSIDE per_query.
+    seg_store_sec = phrase_sec = None
     if not synth_docs:
         from pysearch import phrase
 
         tp = time.time()
         phrase.positions_table(spark, sf_dir)
-        pos_build_sec = round(time.time() - tp, 4)
+        seg_store_sec = round(time.time() - tp, 4)
         # steady-state, same policy as the scored queries above: one
         # untimed call absorbs the first-action costs of the fresh store
         # (whole-stage codegen for the new plan shape + parquet footer
@@ -150,14 +180,18 @@ def main() -> None:
         "build_sec": round(build_sec, 4),
         "docs_per_sec": round(n_docs / build_sec, 2) if build_sec else None,
         "query_p50_sec": lat[len(lat) // 2] if lat else None,
+        "commit_sec": round(commit_sec, 4),
+        "interactive": interactive,
+        "interactive_p50_sec": ilat[len(ilat) // 2] if ilat else None,
         "batch_7q_sec": batch_sec,
         "batch_per_query_sec": round(batch_sec / len(queries), 4),
-        "positions_build_sec": pos_build_sec,
+        "segment_store_sec": seg_store_sec,
         "q_phrase_sec": phrase_sec,
         "cpus": cpus,
         "synthetic_docs": synth_docs or None,
     }
     print(json.dumps(out))
+    shutil.rmtree(seg_dir, ignore_errors=True)
     spark.stop()
 
 

@@ -344,27 +344,55 @@ def search_many(index: Index, queries: list[Query], method: str = "auto") -> Dat
     return _search_distributed(index, queries)
 
 
-def _search_local(index: Index, queries: list[Query]) -> DataFrame:
-    """Driver-side scoring: ONE narrow Spark job collects the candidate
-    posting blocks (term+bucket pruned), then the same MAXSCORE kernel
-    runs in-process. Returns a small local DataFrame of top-k rows.
+def _local_blocks_pandas(index: Index, terms: list[str]):
+    """Driver-side PYARROW read of the pruned posting bucket dirs — ZERO
+    Spark jobs once the terms dictionary is warm (r05 brief item 6: the
+    remaining 0.2-0.4 s of selective-query latency was pure Spark job
+    dispatch around a scan that lands on the driver anyway).
 
-    The query relation is NOT joined in (unlike the gather/distributed
-    paths): the blocks land on the driver anyway, so per-query tagging
-    (query_id/weight/k/mode) is a pandas map here — skipping the
-    broadcast-build job halves selective-query latency (the broadcast
-    exchange cost a second job + ~0.4 s at sf0.1; r03 measurement)."""
+    Only for disk-backed segments (Index.disk_path, set by
+    store.segment_index / callers of build.load_index): the bucket of
+    each term comes from the term_meta cache, the matching bucket=N
+    parquet dirs are opened directly with pyarrow.dataset, and the term
+    equality filter prunes row groups via parquet statistics — the same
+    pruning the Spark plan does, minus the job. Returns None when the
+    fast path does not apply (in-memory segment), else a pandas frame of
+    candidate block rows (possibly empty)."""
+    import os
+
+    path = getattr(index, "disk_path", None)
+    if path is None:
+        return None
     import pandas as pd
 
-    spark = index.postings.sparkSession
-    terms = sorted({t for q in queries for t in q.terms})
-    cand = _candidate_blocks(index, terms)
-    if cand is None:
-        return spark.createDataFrame([], HIT_SCHEMA)
-    raw = cand.collect()
-    if not raw:
-        return spark.createDataFrame([], HIT_SCHEMA)
-    blocks = pd.DataFrame([r.asDict() for r in raw])
+    meta = term_meta(index, terms)
+    buckets = sorted({b for _, b in meta.values() if b >= 0})
+    cols = ["term", "salt", "df", "block_id", "n_in_block", "first_doc_id",
+            "docid_gaps", "tfs_enc", "norms_enc", "block_max_tf",
+            "block_max_score"]
+    dirs = [os.path.join(path, "postings", f"bucket={b}") for b in buckets]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    if not dirs:
+        return pd.DataFrame(columns=cols)
+    import glob
+
+    import pyarrow.dataset as ds
+
+    files = sorted(f for d in dirs
+                   for f in glob.glob(os.path.join(d, "*.parquet")))
+    if not files:
+        return pd.DataFrame(columns=cols)
+    dataset = ds.dataset(files, format="parquet")
+    tbl = dataset.to_table(columns=cols,
+                           filter=ds.field("term").isin(terms))
+    return tbl.to_pandas()
+
+
+def _score_blocks_pd(index: Index, blocks, queries: list[Query]):
+    """Per-query tagging + MAXSCORE over a local pandas frame of
+    candidate block rows -> pandas hits (query_id, doc_id, score)."""
+    import pandas as pd
+
     outs = []
     for q in sorted(queries, key=lambda q: q.query_id):
         mult = {t: float(m) for t, m in Counter(q.terms).items()}
@@ -379,11 +407,74 @@ def _search_local(index: Index, queries: list[Query]) -> DataFrame:
         outs.append(_score_query_group(
             g, index.stats.n_docs, index.stats.avgdl, index.k1, index.b))
     if not outs:
+        return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                             "doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+    return pd.concat(outs, ignore_index=True)
+
+
+def _search_local(index: Index, queries: list[Query]) -> DataFrame:
+    """Driver-side scoring: candidate posting blocks are gathered to the
+    driver — via the pyarrow fast path for disk-backed segments (no
+    Spark job at all), else ONE narrow collect job (term+bucket pruned)
+    — then the same MAXSCORE kernel runs in-process. Returns a small
+    local DataFrame of top-k rows.
+
+    The query relation is NOT joined in (unlike the gather/distributed
+    paths): the blocks land on the driver anyway, so per-query tagging
+    (query_id/weight/k/mode) is a pandas map here — skipping the
+    broadcast-build job halves selective-query latency (the broadcast
+    exchange cost a second job + ~0.4 s at sf0.1; r03 measurement)."""
+    import pandas as pd
+
+    spark = index.postings.sparkSession
+    terms = sorted({t for q in queries for t in q.terms})
+    blocks = _local_blocks_pandas(index, terms)
+    if blocks is None:
+        cand = _candidate_blocks(index, terms)
+        if cand is None:
+            return spark.createDataFrame([], HIT_SCHEMA)
+        raw = cand.collect()
+        if not raw:
+            return spark.createDataFrame([], HIT_SCHEMA)
+        blocks = pd.DataFrame([r.asDict() for r in raw])
+    if not len(blocks):
         return spark.createDataFrame([], HIT_SCHEMA)
-    hits = pd.concat(outs, ignore_index=True)
+    hits = _score_blocks_pd(index, blocks, queries)
     if not len(hits):
         return spark.createDataFrame([], HIT_SCHEMA)
     return spark.createDataFrame(hits, schema=HIT_SCHEMA)
+
+
+def search_interactive(index: Index, text_or_terms, k: int = 10,
+                       mode: str = "or"):
+    """Interactive single-query path: top-k BM25 entirely on the
+    coordinator — pyarrow read of the pruned bucket dirs + in-process
+    MAXSCORE, zero Spark jobs once the terms dictionary is warm. Returns
+    a PANDAS frame (doc_id, score), ordered (score desc, doc_id asc) —
+    the ES coordinator's JSON-response analog; rank-identical to
+    search() (pytest-pinned).
+
+    Falls back to the Spark path when the segment is not disk-backed or
+    the candidate estimate exceeds LOCAL_MAX_POSTINGS (hot terms belong
+    on the executors — same cap discipline as search_many)."""
+    import pandas as pd
+
+    terms = (analysis.analyze(text_or_terms)
+             if isinstance(text_or_terms, str) else list(text_or_terms))
+    q = Query(0, terms, k, mode)
+    est = _estimate_postings(index, [q])
+    blocks = (_local_blocks_pandas(index, sorted(set(terms)))
+              if terms and est <= LOCAL_MAX_POSTINGS else None)
+    if blocks is None:
+        rows = search(index, terms, k=k, mode=mode).collect()
+        return pd.DataFrame(
+            [(int(r["doc_id"]), float(r["score"])) for r in rows],
+            columns=["doc_id", "score"])
+    hits = _score_blocks_pd(index, blocks, [q])
+    hits = hits.sort_values(["score", "doc_id"], ascending=[False, True],
+                            kind="mergesort")
+    return hits[["doc_id", "score"]].reset_index(drop=True)
 
 
 def _estimate_postings(index: Index, queries: list[Query]) -> int:
@@ -1013,24 +1104,26 @@ def count_matches(index: Index, text_or_terms, mode: str = "or") -> int:
         return 0
     cand = cand.select("term", "first_doc_id", "docid_gaps", "n_in_block")
 
-    # selective queries: collect the (already tiny) gap columns straight
-    # to the driver — one narrow scan job, no shuffle, no Python workers
+    # selective queries: gather the (already tiny) gap columns straight
+    # to the driver — pyarrow read of the pruned bucket dirs for
+    # disk-backed segments (zero Spark jobs), else one narrow scan job
     if _estimate_postings(index, [q]) <= LOCAL_MAX_POSTINGS:
-        rows = cand.collect()
-        per_term: dict[str, list] = {}
-        for r in rows:
-            per_term.setdefault(r["term"], []).append(r)
+        blocks = _local_blocks_pandas(index, uniq)
+        if blocks is None:
+            blocks = pd.DataFrame(
+                [r.asDict() for r in cand.collect()],
+                columns=["term", "first_doc_id", "docid_gaps", "n_in_block"])
         sets = []
-        for t, rs in per_term.items():
+        for t, g in blocks.groupby("term", sort=False):
             ids, _, _ = codec.decode_blocks_concat(
-                [r["first_doc_id"] for r in rs],
-                [r["docid_gaps"] for r in rs],
-                [r["n_in_block"] for r in rs])
+                g["first_doc_id"].to_numpy(), g["docid_gaps"].tolist(),
+                g["n_in_block"].to_numpy())
             sets.append(ids)
+        n_terms_present = blocks["term"].nunique()
         if not sets:
             return 0
         if mode == "and":
-            if len(per_term) < len(uniq):
+            if n_terms_present < len(uniq):
                 return 0
             acc = sets[0]
             for s in sets[1:]:

@@ -65,9 +65,21 @@ def _reg(name: str, sql: str | None):
 def positions_table(spark: SparkSession, sf_dir: str,
                     field: str = "content") -> DataFrame:
     """The persisted positional-postings table (term, doc_id, poss,
-    bucket) for one corpus field — built and written exactly once per
-    (sf_dir, field) per process, read back from bucket-partitioned
-    parquet so term lookups partition-prune to 1 of N_POS_BUCKETS dirs."""
+    bucket) for one corpus field, bucket-partitioned parquet so term
+    lookups partition-prune to 1 of N_POS_BUCKETS dirs.
+
+    For the primary content field this IS the committed segment's
+    positions table (store.segment_index — build.write_index writes it,
+    load_index reads it; r05 brief item 4 removed the former tempdir
+    twin). Derived fields (title) still materialize a standalone
+    positions-only store once per (sf_dir, field)."""
+    if field == "content":
+        from . import store
+
+        idx = store.segment_index(spark, sf_dir)
+        assert idx.n_buckets == N_POS_BUCKETS, \
+            "segment bucket layout must match pos_bucket_of pruning"
+        return idx.positions
     key = (sf_dir.rstrip("/"), field)
     if key not in _POS_STORE:
         d = tbl(spark, sf_dir, "documents")
