@@ -274,3 +274,129 @@ def geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     projected scan + filter, no shuffle, same plan shape as geo_bbox."""
     pts = _latlon(tbl(spark, sf_dir, "customer"))
     return pts.where(_poly_col()).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# geo_shape — shape-vs-shape relations (SURVEY §2.5's last 'no': minimal
+# slice per the r04 brief: envelope-vs-polygon INTERSECTS / WITHIN)
+# ---------------------------------------------------------------------------
+
+#: synthetic per-customer shape: an ENVELOPE (axis-aligned rect) centered
+#: on the customer's derived point with custkey-derived half-extents in
+#: degrees. Extents are multiples of 0.1 (+ the point grid is 0.01), so
+#: corners stay on the 0.01 grid — the .005 polygon-vertex offsets keep
+#: every corner off every polygon vertex/edge and make the strict
+#: orientation tests unambiguous in both engines.
+_DX_SQL = "CAST(CAST(c_custkey AS BIGINT) * 31 % 97 + 3 AS DOUBLE) / 10.0"
+_DY_SQL = "CAST(CAST(c_custkey AS BIGINT) * 17 % 89 + 3 AS DOUBLE) / 10.0"
+
+#: rect corners as (x=lon, y=lat) SQL expressions, counter-clockwise
+_CORNERS = (("(lon - dx)", "(lat - dy)"), ("(lon + dx)", "(lat - dy)"),
+            ("(lon + dx)", "(lat + dy)"), ("(lon - dx)", "(lat + dy)"))
+_RECT_EDGES = tuple(zip(_CORNERS, _CORNERS[1:] + _CORNERS[:1]))
+
+
+def _pip_sql(x: str, y: str) -> str:
+    """Even-odd ray-cast point-in-polygon for an arbitrary (x, y)
+    expression pair — the parametric generalization of _poly_sql_pred
+    (same precomputed-slope form, so both engines evaluate identical
+    double constants with +,-,* only)."""
+    terms = [
+        f"(CASE WHEN (({y1!r} > {y}) <> ({y2!r} > {y}))"
+        f" AND {x} < {slope!r} * ({y} - {y1!r}) + {x1!r}"
+        f" THEN 1 ELSE 0 END)"
+        for x1, y1, x2, y2, slope in _poly_crossing_terms()]
+    return f"(({' + '.join(terms)}) % 2 = 1)"
+
+
+def _edge_cross_sql() -> str:
+    """OR over the 5×4 polygon-edge × rect-edge proper-intersection
+    tests. Segments AB (polygon, constants) and CD (rect, expressions)
+    properly cross iff orient(A,B,C)·orient(A,B,D) < 0 AND
+    orient(C,D,A)·orient(C,D,B) < 0 — orientation is the 2×2 cross
+    product, so the whole predicate is +,-,* arithmetic that both
+    engines evaluate bit-identically (no division, no libm)."""
+    poly_edges = list(zip(POLYGON, POLYGON[1:] + POLYGON[:1]))
+    crosses = []
+    for (ax, ay), (bx, by) in poly_edges:
+        ex, ey = bx - ax, by - ay  # AB direction, precomputed constants
+        for (cx, cy), (dx_, dy_) in _RECT_EDGES:
+            o_c = f"({ex!r} * ({cy} - {ay!r}) - {ey!r} * ({cx} - {ax!r}))"
+            o_d = f"({ex!r} * ({dy_} - {ay!r}) - {ey!r} * ({dx_} - {ax!r}))"
+            o_a = (f"(({dx_} - {cx}) * ({ay!r} - {cy}) -"
+                   f" ({dy_} - {cy}) * ({ax!r} - {cx}))")
+            o_b = (f"(({dx_} - {cx}) * ({by!r} - {cy}) -"
+                   f" ({dy_} - {cy}) * ({bx!r} - {cx}))")
+            crosses.append(f"({o_c} * {o_d} < 0 AND {o_a} * {o_b} < 0)")
+    return "(" + " OR ".join(crosses) + ")"
+
+
+def _vertex_in_rect_sql() -> str:
+    """OR over the 5 polygon-vertex-inside-rect tests (strict)."""
+    tests = [
+        f"({vx!r} > lon - dx AND {vx!r} < lon + dx"
+        f" AND {vy!r} > lat - dy AND {vy!r} < lat + dy)"
+        for vx, vy in POLYGON]
+    return "(" + " OR ".join(tests) + ")"
+
+
+def _corner_pip_terms() -> list[str]:
+    return [_pip_sql(x, y) for x, y in _CORNERS]
+
+
+def _shape_cte() -> str:
+    return (f"SELECT c_custkey, {_LAT_SQL} AS lat, {_LON_SQL} AS lon,"
+            f" {_DX_SQL} AS dx, {_DY_SQL} AS dy FROM customer")
+
+
+def _intersects_pred() -> str:
+    """Rect ∩ polygon ≠ ∅ ⇔ a rect corner is inside the polygon (polygon
+    ⊇-covers or partially covers the rect), OR a polygon vertex is inside
+    the rect (rect covers part/all of the polygon), OR some boundary
+    edges properly cross (overlap with no contained vertex)."""
+    corner_any = "(" + " OR ".join(_corner_pip_terms()) + ")"
+    return (f"({corner_any} OR {_vertex_in_rect_sql()}"
+            f" OR {_edge_cross_sql()})")
+
+
+def _within_pred() -> str:
+    """Rect ⊆ polygon ⇔ all 4 corners inside AND no boundary crossing
+    (sufficient for simple polygons: a boundary excursion would have to
+    cross the rect boundary)."""
+    corner_all = "(" + " AND ".join(_corner_pip_terms()) + ")"
+    return f"({corner_all} AND NOT {_edge_cross_sql()})"
+
+
+@_reg("geo_shape_intersects", f"""
+WITH shp AS ({_shape_cte()})
+SELECT c_custkey, lat, lon, dx, dy FROM shp
+WHERE {_intersects_pred()}
+ORDER BY c_custkey""")
+def geo_shape_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_shape INTERSECTS relation (GeoShapeQueryBuilder.java,
+    ShapeRelation.INTERSECTS; [lucene dep] LatLonShape envelope-vs-
+    polygon component queries): customer ENVELOPE shapes intersecting
+    the fixed 5-vertex query polygon. Decided entirely by column
+    arithmetic (ray-cast containment + 2×2-cross-product segment
+    orientation) over a derived-shape projection — one narrow scan +
+    filter, no shuffle, no UDF; at 100 TB this is the same
+    whole-stage-codegen filter shape as geo_bbox."""
+    shp = (_latlon(tbl(spark, sf_dir, "customer"))
+           .withColumn("dx", F.expr(_DX_SQL))
+           .withColumn("dy", F.expr(_DY_SQL)))
+    return shp.where(F.expr(_intersects_pred())).orderBy("c_custkey")
+
+
+@_reg("geo_shape_within", f"""
+WITH shp AS ({_shape_cte()})
+SELECT c_custkey, lat, lon, dx, dy FROM shp
+WHERE {_within_pred()}
+ORDER BY c_custkey""")
+def geo_shape_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_shape WITHIN relation (ShapeRelation.WITHIN): customer
+    envelopes entirely inside the query polygon — all-corners-contained
+    plus no boundary crossing. Same plan shape as geo_shape_intersects."""
+    shp = (_latlon(tbl(spark, sf_dir, "customer"))
+           .withColumn("dx", F.expr(_DX_SQL))
+           .withColumn("dy", F.expr(_DY_SQL)))
+    return shp.where(F.expr(_within_pred())).orderBy("c_custkey")

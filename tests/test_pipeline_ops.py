@@ -128,13 +128,21 @@ def test_lsh_bucket_prunes(spark):
     assert biggest < n_total * 0.5
 
 
-def test_multimodal_stub_and_plumbing(spark):
+def test_multimodal_codecs_and_plumbing(spark):
+    import numpy as np
+
     from pysearch import multimodal
 
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG fake")
-    meta = multimodal.fake_decode(b"x" * 100)
-    assert meta == multimodal.fake_decode(b"y" * 100)  # length-determined
+    # native codecs round-trip bit-exactly (incl. BMP row padding /
+    # bottom-up rows / BGR order on a non-multiple-of-4 width)
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert np.array_equal(
+        multimodal.decode_image(multimodal.encode_ppm(arr)), arr)
+    assert np.array_equal(
+        multimodal.decode_image(multimodal.encode_bmp(arr)), arr)
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\x89PNG fake")  # no PIL in container
     p = multimodal.payloads(spark, SF)
     assert dict(p.dtypes)["payload"] == "binary"
     row = p.where(F.col("doc_id") == 0).collect()[0]
