@@ -76,9 +76,11 @@ def main() -> None:
     if os.environ.get("PYSEARCH_BENCH_WARMUP", "1") != "0":
         from pysearch.datagen import synthetic_corpus
 
+        # same bucket count / plan shape as the timed build so codegen,
+        # shuffle layout and AQE decisions are all warm for it
         warm = pbuild.build_index(
             spark, synthetic_corpus(spark, 2000, n_partitions=cpus),
-            n_buckets=8)
+            n_buckets=max(cpus, 16))
         warm.postings.count()
         for df in (warm.postings, warm.docs, warm.term_stats):
             df.unpersist()
