@@ -98,16 +98,21 @@ def main() -> None:
     # (ES never serves queries from the indexer's in-memory structures).
     # Disk-backing also enables the coordinator pyarrow fast path for
     # selective queries (exec._local_blocks_pandas).
+    # Skipped in synthetic scaling mode (PYSEARCH_BENCH_SYNTH_DOCS): the
+    # scaling criterion measures BUILD throughput; writing a multi-GB
+    # segment per leg would only stretch campaign wall-clock.
     import shutil
     import tempfile
 
-    t0 = time.time()
-    seg_dir = tempfile.mkdtemp(prefix="pysearch_bench_seg_")
-    pbuild.write_index(index, seg_dir)
-    loaded = pbuild.load_index(spark, seg_dir)
-    loaded.disk_path = seg_dir
-    commit_sec = time.time() - t0
-    index = loaded
+    seg_dir = commit_sec = None
+    if not synth_docs:
+        t0 = time.time()
+        seg_dir = tempfile.mkdtemp(prefix="pysearch_bench_seg_")
+        pbuild.write_index(index, seg_dir)
+        loaded = pbuild.load_index(spark, seg_dir)
+        loaded.disk_path = seg_dir
+        commit_sec = round(time.time() - t0, 4)
+        index = loaded
 
     # warm the Python workers / JVM paths before per-query timing — must be
     # a term that EXISTS in the index, else the scoring UDF never spins up
@@ -134,12 +139,13 @@ def main() -> None:
     # MAXSCORE, zero Spark jobs (exec.search_interactive; rank-identical
     # to the Spark path, pytest-pinned). This is the ES "2-8 ms term
     # query" shape; timed per query over the committed segment.
-    pexec.search_interactive(index, warm_term, k=1)  # warm term dict
     interactive: dict[str, float] = {}
-    for name, text, k, mode in queries:
-        tq = time.time()
-        pexec.search_interactive(index, text, k=k, mode=mode)
-        interactive[name] = round(time.time() - tq, 4)
+    if not synth_docs:
+        pexec.search_interactive(index, warm_term, k=1)  # warm term dict
+        for name, text, k, mode in queries:
+            tq = time.time()
+            pexec.search_interactive(index, text, k=k, mode=mode)
+            interactive[name] = round(time.time() - tq, 4)
     ilat = sorted(interactive.values())
 
     # phrase path: the canonical per-corpus segment store (16-bucket,
@@ -182,8 +188,8 @@ def main() -> None:
         "build_sec": round(build_sec, 4),
         "docs_per_sec": round(n_docs / build_sec, 2) if build_sec else None,
         "query_p50_sec": lat[len(lat) // 2] if lat else None,
-        "commit_sec": round(commit_sec, 4),
-        "interactive": interactive,
+        "commit_sec": commit_sec,
+        "interactive": interactive or None,
         "interactive_p50_sec": ilat[len(ilat) // 2] if ilat else None,
         "batch_7q_sec": batch_sec,
         "batch_per_query_sec": round(batch_sec / len(queries), 4),
@@ -193,7 +199,8 @@ def main() -> None:
         "synthetic_docs": synth_docs or None,
     }
     print(json.dumps(out))
-    shutil.rmtree(seg_dir, ignore_errors=True)
+    if seg_dir:
+        shutil.rmtree(seg_dir, ignore_errors=True)
     spark.stop()
 
 
