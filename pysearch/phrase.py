@@ -164,6 +164,44 @@ def _pair_count(p0, p1, slop: int) -> int:
     return sum(1 for x in p0 for y in p1 if x + 1 <= y <= x + 1 + slop)
 
 
+def _pair_rows_pandas(spark: SparkSession, sf_dir: str, t0: str, t1: str):
+    """Coordinator pyarrow read of the two phrase legs' pruned position
+    bucket dirs — ZERO Spark jobs (the phrase sibling of
+    exec._local_blocks_pandas; r05). The cap is probed first with
+    pyarrow's count_rows under the same term filter (narrow: reads only
+    the filter column's row groups), mirroring the narrow-count probe
+    discipline of the Spark gather below. Returns None when the store is
+    not disk-backed (caller uses the Spark probe+gather), False when the
+    pair is hot (caller uses the distributed join), else a pandas frame
+    of (term, doc_id, poss) rows."""
+    import glob
+    import os
+
+    from . import store
+
+    idx = store.segment_index(spark, sf_dir)
+    path = getattr(idx, "disk_path", None)
+    if path is None or idx.positions is None:
+        return None
+    import pandas as pd
+    import pyarrow.dataset as ds
+
+    buckets = sorted({build.pos_bucket_of(t, N_POS_BUCKETS)
+                      for t in (t0, t1)})
+    files = sorted(
+        f for b in buckets
+        for f in glob.glob(os.path.join(path, "positions",
+                                        f"bucket={b}", "*.parquet")))
+    if not files:
+        return pd.DataFrame(columns=["term", "doc_id", "poss"])
+    dataset = ds.dataset(files, format="parquet")
+    flt = ds.field("term").isin([t0, t1])
+    if dataset.count_rows(filter=flt) > LOCAL_MAX_PAIR_ROWS:
+        return False
+    return dataset.to_table(columns=["term", "doc_id", "poss"],
+                            filter=flt).to_pandas()
+
+
 def _pair_scan(spark: SparkSession, sf_dir: str,
                t0: str, t1: str) -> DataFrame:
     """Bucket+term-pruned scan of BOTH phrase legs' (term, doc_id, poss)
@@ -221,22 +259,29 @@ def _phrase_pair(t0: str, t1: str, slop: int):
               pairs (slop=0), and the aggregate-over-filter counts
               banded pairs."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        scan = _pair_scan(spark, sf_dir, t0, t1)
-        if scan.count() <= LOCAL_MAX_PAIR_ROWS:
-            rows = scan.collect()
-            first = {r["doc_id"]: r["poss"] for r in rows
-                     if r["term"] == t0}
-            out = sorted(
-                (r["doc_id"], n)
-                for r in rows if r["term"] == t1
-                and (p0 := first.get(r["doc_id"])) is not None
-                and (n := _pair_count(p0, r["poss"], slop)) > 0)
-            # already sorted; createDataFrame preserves local row order —
-            # an orderBy here would shuffle k rows across 32 partitions
-            # (measured ~0.8 s of pure overhead on a 1-row relation)
-            return spark.createDataFrame(
-                out, "doc_id long, n_occurrences long")
-        return _phrase_pair_join(spark, sf_dir, t0, t1, slop)
+        pdf = _pair_rows_pandas(spark, sf_dir, t0, t1)
+        if pdf is False:                       # probed hot: distributed join
+            return _phrase_pair_join(spark, sf_dir, t0, t1, slop)
+        if pdf is not None:                    # coordinator pyarrow read
+            rows = [(r.term, int(r.doc_id), list(r.poss))
+                    for r in pdf.itertuples(index=False)]
+        else:                                  # tempdir store: Spark gather
+            scan = _pair_scan(spark, sf_dir, t0, t1)
+            if scan.count() > LOCAL_MAX_PAIR_ROWS:
+                return _phrase_pair_join(spark, sf_dir, t0, t1, slop)
+            rows = [(r["term"], r["doc_id"], r["poss"])
+                    for r in scan.collect()]
+        first = {doc: poss for term, doc, poss in rows if term == t0}
+        out = sorted(
+            (doc, n)
+            for term, doc, poss in rows if term == t1
+            and (p0 := first.get(doc)) is not None
+            and (n := _pair_count(p0, poss, slop)) > 0)
+        # already sorted; createDataFrame preserves local row order —
+        # an orderBy here would shuffle k rows across 32 partitions
+        # (measured ~0.8 s of pure overhead on a 1-row relation)
+        return spark.createDataFrame(
+            out, "doc_id long, n_occurrences long")
     return run
 
 

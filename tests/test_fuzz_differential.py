@@ -60,6 +60,50 @@ def test_fuzz_tree_campaign(spark, built_index, ddb):
     assert not failures, f"{len(failures)}/{N} cases diverged: {failures[:2]}"
 
 
+FA_N = int(os.environ.get("PYSEARCH_FUZZ_FA_N", "60"))
+
+
+@pytest.fixture(scope="module")
+def ddb_events():
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    return con
+
+
+def test_fuzz_filter_agg_campaign(spark, ddb_events):
+    """Seeded filter+agg differential (VERDICT #2's filters/aggs scope):
+    DataFrame-API interpretation vs independently generated DuckDB SQL,
+    FA_N random specs over events."""
+    cases = fuzz.fa_cases(fuzz.FA_SEED, FA_N)
+    failures = []
+    for i, case in enumerate(cases):
+        eng = sorted(
+            (r["grp"], round(float(r["metric"]), osql.ROUND_DIGITS))
+            for r in fuzz._fa_engine(spark, SF, case).collect())
+        ora = sorted(
+            (g, round(float(m), osql.ROUND_DIGITS))
+            for g, m in ddb_events.sql(fuzz._fa_sql(case)).fetchall())
+        if eng != ora:
+            failures.append((i, case, eng[:3], ora[:3]))
+    assert not failures, \
+        f"{len(failures)}/{FA_N} cases diverged: {failures[:2]}"
+
+
+def test_fa_generator_deterministic():
+    assert fuzz.fa_cases(fuzz.FA_SEED, 30) == fuzz.fa_cases(fuzz.FA_SEED, 30)
+    assert fuzz.fa_cases(fuzz.FA_SEED + 1, 30) \
+        != fuzz.fa_cases(fuzz.FA_SEED, 30)
+
+
+def test_fa_generator_covers_edge_classes():
+    import json
+
+    blob = json.dumps(fuzz.fa_cases(fuzz.FA_SEED, 300))
+    for marker in ("absent_type", '"neg": true', "min_doc_count",
+                   "date_hist", "hist", '"terms"', '"avg"'):
+        assert marker in blob, f"generator lost coverage of {marker!r}"
+
+
 def test_fuzz_generator_deterministic():
     a = fuzz.fuzz_cases(SEED, 30)
     b = fuzz.fuzz_cases(SEED, 30)

@@ -149,6 +149,38 @@ def test_tree_phrase_uses_persisted_positions(spark):
     assert got, "phrase 'merge sort' should match at sf0.001"
 
 
+def test_phrase_pyarrow_fast_path(spark):
+    """r05: with a committed segment on disk, the phrase pair gather is
+    a coordinator pyarrow read (no Spark scan job) — same rows as the
+    Spark probe+gather scan, same final relation as the distributed
+    join; above the cap it signals the join fallback."""
+    from pysearch import phrase
+
+    phrase.positions_table(spark, SF_SMOKE)  # commits the segment
+    pdf = phrase._pair_rows_pandas(spark, SF_SMOKE, "merge", "sort")
+    assert pdf is not None and pdf is not False, \
+        "fast path must engage on a disk-backed segment"
+    got = {(r.term, int(r.doc_id), tuple(r.poss))
+           for r in pdf.itertuples(index=False)}
+    want = {(r["term"], r["doc_id"], tuple(r["poss"])) for r in
+            phrase._pair_scan(spark, SF_SMOKE, "merge", "sort").collect()}
+    assert got == want
+
+    local = phrase._phrase_pair("merge", "sort", 0)(spark, SF_SMOKE)
+    join = phrase._phrase_pair_join(spark, SF_SMOKE, "merge", "sort", 0)
+    assert [tuple(r) for r in local.collect()] \
+        == [tuple(r) for r in join.collect()]
+
+
+def test_phrase_pyarrow_cap_falls_back(spark, monkeypatch):
+    from pysearch import phrase
+
+    phrase.positions_table(spark, SF_SMOKE)
+    monkeypatch.setattr(phrase, "LOCAL_MAX_PAIR_ROWS", 0)
+    assert phrase._pair_rows_pandas(
+        spark, SF_SMOKE, "merge", "sort") is False
+
+
 def test_mm_phrase_empty_when_term_absent(spark):
     """_mm_phrase guard: absent member term -> empty frame, no error."""
     from pysearch.phrase import _mm_phrase
